@@ -1,0 +1,539 @@
+"""KANZ v6 stream container: file header, per-block frames, block scheduler.
+
+Format (reference: v2/io/CompressedStream.go):
+
+File header (write: :429-519):
+    32b magic "KANZ" | 4b version(6) | 2b checksum size (0/1/2 -> none/32/64)
+    | 5b entropy type | 48b transform chain | 28b blockSize>>4 | 2b szMask
+    | szMask*16b original size | 15b padding | 24b header checksum
+
+Per-block frame (:951-976): 5b (lw-3), lw bits payload bit-length, payload
+bits. End-of-stream marker = zero-length block (5b=0, 3b=0).
+
+Block payload (:718-728): mode byte (0x80=copy; bits 5-6 = byte-width-1 of
+post-transform length; 0x10 = >4 transforms -> separate 8-bit skip-flags
+byte, else low nibble = skipFlags>>4); 8*dataSize bits post-transform
+length; optional 32/64-bit XXHash of the original block; entropy payload.
+
+Blocks are independent by design, which this framework exploits as the
+primary data-parallel axis: kanzi_tpu.parallel shards block batches over a
+TPU mesh and splices the returned (payload, bit_length) pairs here in block
+order — the device-side analogue of the reference's lock-free ordered append.
+"""
+
+from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from .. import entropy as entropy_mod
+from .. import transforms as transforms_mod
+from .. import internal
+from ..bitstream import BitReader, BitWriter
+from ..core import (BITSTREAM_TYPE, BITSTREAM_FORMAT_VERSION, COPY_BLOCK_MASK,
+                    TRANSFORMS_MASK, MIN_BITSTREAM_BLOCK_SIZE,
+                    MAX_BITSTREAM_BLOCK_SIZE, SMALL_BLOCK_SIZE,
+                    MAX_CONCURRENCY, KanziError, Event, EventType, HashType,
+                    ERR_INVALID_PARAM, ERR_BLOCK_SIZE, ERR_INVALID_FILE,
+                    ERR_INVALID_CODEC, ERR_STREAM_VERSION, ERR_CRC_CHECK,
+                    ERR_PROCESS_BLOCK, ERR_WRITE_FILE, ERR_READ_FILE)
+from ..xxhash import xxhash32, xxhash64
+
+_HEADER_HASH = 0x1E35A7BD
+_M32 = 0xFFFFFFFF
+
+
+def _notify(listeners, evt: Event) -> None:
+    for bl in listeners:
+        try:
+            bl.process_event(evt)
+        except Exception:
+            pass  # listener failures never affect the stream (ref :979-991)
+
+
+def _block_checksum(data: np.ndarray, checksum_bits: int) -> int:
+    if checksum_bits == 32:
+        return xxhash32(data.tobytes(), BITSTREAM_TYPE)
+    if checksum_bits == 64:
+        return xxhash64(data.tobytes(), BITSTREAM_TYPE)
+    return 0
+
+
+def compress_block_payload(data: np.ndarray, transform_type: int,
+                           entropy_type: int, ctx: dict,
+                           checksum_bits: int = 0) -> tuple[bytes, int]:
+    """Encode one block into its frame payload.
+
+    Returns (payload_bytes, exact_bit_length). Mirrors encodingTask.encode
+    (reference: v2/io/CompressedStream.go:729-977).
+    """
+    block_length = len(data)
+    mode = 0
+    checksum = _block_checksum(data, checksum_bits) if checksum_bits else 0
+
+    t_type, e_type = transform_type, entropy_type
+    if block_length <= SMALL_BLOCK_SIZE:
+        t_type, e_type = transforms_mod.NONE_TYPE, entropy_mod.NONE_TYPE
+        mode |= COPY_BLOCK_MASK
+    elif ctx.get("skipBlocks", False):
+        skip = False
+        if block_length >= 8:
+            skip = internal.is_data_compressed(internal.get_magic_type(data[:8]))
+        if not skip:
+            histo = internal.compute_histogram_order0(data)
+            skip = internal.first_order_entropy_1024(block_length, histo) >= \
+                entropy_mod.INCOMPRESSIBLE_THRESHOLD
+        if skip:
+            t_type, e_type = transforms_mod.NONE_TYPE, entropy_mod.NONE_TYPE
+            mode |= COPY_BLOCK_MASK
+
+    ctx = dict(ctx)
+    ctx["size"] = block_length
+    seq = transforms_mod.new_sequence(ctx, t_type)
+
+    magic = internal.get_magic_type(data[:8]) if block_length >= 4 else internal.NO_MAGIC
+    if internal.is_data_compressed(magic):
+        ctx["dataType"] = internal.DataType.BIN
+    elif internal.is_data_multimedia(magic):
+        ctx["dataType"] = internal.DataType.MULTIMEDIA
+    elif internal.is_data_executable(magic):
+        ctx["dataType"] = internal.DataType.EXE
+
+    out, skip_flags = seq.forward(data)
+    post_len = len(out)
+    ctx["size"] = post_len
+
+    data_size = 1
+    if post_len >= 256:
+        data_size = (internal.log2_no_check(post_len) >> 3) + 1
+        if data_size > 4:
+            raise KanziError("Invalid block data length", ERR_WRITE_FILE)
+    mode |= ((data_size - 1) & 0x03) << 5
+
+    hdr = BitWriter()
+    if (mode & COPY_BLOCK_MASK) != 0 or len(seq) <= 4:
+        mode |= skip_flags >> 4
+        hdr.write_bits(mode, 8)
+    else:
+        mode |= TRANSFORMS_MASK
+        hdr.write_bits(mode, 8)
+        hdr.write_bits(skip_flags, 8)
+    hdr.write_bits(post_len, 8 * data_size)
+    if checksum_bits:
+        hdr.write_bits(checksum, checksum_bits)
+    hdr_bytes = hdr.getvalue()  # all header fields are whole bytes
+
+    payload, payload_bits = entropy_mod.encode(e_type, out, ctx)
+    return hdr_bytes + payload, len(hdr_bytes) * 8 + payload_bits
+
+
+def decompress_block_payload(payload: bytes, transform_type: int,
+                             entropy_type: int, ctx: dict,
+                             block_size: int, checksum_bits: int = 0) -> bytes:
+    """Decode one block frame payload back to its original bytes.
+
+    Mirrors decodingTask.decode (reference: v2/io/CompressedStream.go:1763-2012).
+    """
+    br = BitReader(payload)
+    mode = br.read_bits(8)
+    skip_flags = 0
+    t_type, e_type = transform_type, entropy_type
+
+    if mode & COPY_BLOCK_MASK:
+        t_type, e_type = transforms_mod.NONE_TYPE, entropy_mod.NONE_TYPE
+    elif mode & TRANSFORMS_MASK:
+        skip_flags = br.read_bits(8)
+    else:
+        skip_flags = ((mode << 4) | 0x0F) & 0xFF
+
+    data_size = 1 + ((mode >> 5) & 0x03)
+    pre_len = br.read_bits(8 * data_size)
+    max_len = min(max(block_size + block_size // 2, 2048), MAX_BITSTREAM_BLOCK_SIZE)
+    if pre_len == 0 or pre_len > max_len:
+        raise KanziError(f"Invalid compressed block size: {pre_len}", ERR_BLOCK_SIZE)
+
+    checksum1 = br.read_bits(checksum_bits) if checksum_bits else 0
+
+    ctx = dict(ctx)
+    ctx["size"] = pre_len
+    offset = br.read >> 3  # header fields are whole bytes
+    buf = entropy_mod.decode(e_type, payload[offset:], pre_len, ctx)
+
+    seq = transforms_mod.new_sequence(ctx, t_type)
+    seq.set_skip_flags(skip_flags)
+    out = seq.inverse(np.frombuffer(buf, dtype=np.uint8))
+    result = out.tobytes() if isinstance(out, np.ndarray) else bytes(out)
+
+    if checksum_bits:
+        checksum2 = _block_checksum(np.frombuffer(result, dtype=np.uint8), checksum_bits)
+        if checksum2 != checksum1:
+            raise KanziError(
+                f"Corrupted bitstream: expected checksum {checksum1:x}, found {checksum2:x}",
+                ERR_CRC_CHECK)
+    return result
+
+
+class Writer:
+    """Compressing writer producing a KANZ v6 stream.
+
+    Library surface mirrors kio.NewWriter (reference:
+    v2/io/CompressedStream.go:216-256). `output` is a file-like object with
+    write(); use to_bytes() alternative via kanzi_tpu.compress().
+    """
+
+    def __init__(self, output, transform: str = "NONE", entropy: str = "NONE",
+                 block_size: int = 4 * 1024 * 1024, jobs: int = 1,
+                 checksum: int = 0, file_size: int = 0,
+                 headerless: bool = False, ctx: dict | None = None):
+        self.ctx = dict(ctx) if ctx else {}
+        self.ctx.setdefault("entropy", entropy)
+        self.ctx.setdefault("transform", transform)
+        self.ctx.setdefault("blockSize", block_size)
+        self.ctx.setdefault("jobs", jobs)
+        self.ctx.setdefault("checksum", checksum)
+        self.ctx.setdefault("fileSize", file_size)
+        self.ctx.setdefault("headerless", headerless)
+
+        jobs = int(self.ctx["jobs"])
+        if not 1 <= jobs <= MAX_CONCURRENCY:
+            raise KanziError(
+                f"The number of jobs must be in [1..{MAX_CONCURRENCY}], got {jobs}",
+                ERR_INVALID_PARAM)
+        bsize = int(self.ctx["blockSize"])
+        if bsize > MAX_BITSTREAM_BLOCK_SIZE:
+            raise KanziError(
+                f"The block size must be at most {MAX_BITSTREAM_BLOCK_SIZE >> 20} MB",
+                ERR_INVALID_PARAM)
+        if bsize < MIN_BITSTREAM_BLOCK_SIZE:
+            raise KanziError(
+                f"The block size must be at least {MIN_BITSTREAM_BLOCK_SIZE}",
+                ERR_INVALID_PARAM)
+        if bsize & 15:
+            raise KanziError("The block size must be a multiple of 16", ERR_INVALID_PARAM)
+
+        self.entropy_type = entropy_mod.get_type(str(self.ctx["entropy"]))
+        self.transform_type = transforms_mod.get_type(str(self.ctx["transform"]))
+        # normalize names in ctx (factory may key on them)
+        self.ctx["entropy"] = entropy_mod.get_name(self.entropy_type)
+        self.ctx["transform"] = transforms_mod.get_name(self.transform_type)
+
+        self.block_size = bsize
+        self.jobs = jobs
+        self.headerless = bool(self.ctx["headerless"])
+        self.input_size = int(self.ctx.get("fileSize") or 0)
+        nb_blocks = (self.input_size + bsize - 1) // bsize if self.input_size else 0
+        self.nb_input_blocks = min(nb_blocks, MAX_CONCURRENCY - 1)
+
+        cks = int(self.ctx.get("checksum") or 0)
+        if cks not in (0, 32, 64):
+            raise KanziError("The block checksum size must be 32 or 64 bits",
+                             ERR_INVALID_PARAM)
+        self.checksum_bits = cks
+        self.ctx["bsVersion"] = BITSTREAM_FORMAT_VERSION
+
+        self._os = output
+        self._bw = BitWriter()
+        self._pending = bytearray()
+        self._block_id = 0
+        self._initialized = False
+        self._closed = False
+        self.listeners: list = []
+        self._pool = ThreadPoolExecutor(max_workers=jobs) if jobs > 1 else None
+
+    # -- events ----------------------------------------------------------
+    def add_listener(self, bl) -> bool:
+        if bl is None:
+            return False
+        self.listeners.append(bl)
+        return True
+
+    def remove_listener(self, bl) -> bool:
+        try:
+            self.listeners.remove(bl)
+            return True
+        except ValueError:
+            return False
+
+    # -- header ----------------------------------------------------------
+    def _write_header(self) -> None:
+        if self.headerless or self._initialized:
+            return
+        self._initialized = True
+        ck_size = {0: 0, 32: 1, 64: 2}[self.checksum_bits]
+        bw = self._bw
+        bw.write_bits(BITSTREAM_TYPE, 32)
+        bw.write_bits(BITSTREAM_FORMAT_VERSION, 4)
+        bw.write_bits(ck_size, 2)
+        bw.write_bits(self.entropy_type, 5)
+        bw.write_bits(self.transform_type, 48)
+        bw.write_bits(self.block_size >> 4, 28)
+
+        if self.input_size == 0 or self.input_size >= (1 << 48):
+            sz_mask = 0
+        elif self.input_size >= (1 << 32):
+            sz_mask = 3
+        elif self.input_size >= (1 << 16):
+            sz_mask = 2
+        else:
+            sz_mask = 1
+        bw.write_bits(sz_mask, 2)
+        if sz_mask:
+            bw.write_bits(self.input_size, 16 * sz_mask)
+        bw.write_bits(0, 15)  # padding
+
+        bw.write_bits(self._header_crc(ck_size, sz_mask), 24)
+
+    def _header_crc(self, ck_size: int, sz_mask: int) -> int:
+        seed = (0x01030507 * BITSTREAM_FORMAT_VERSION) & _M32
+        cksum = (_HEADER_HASH * seed) & _M32
+        cksum ^= (_HEADER_HASH * ((~ck_size) & _M32)) & _M32
+        cksum ^= (_HEADER_HASH * ((~self.entropy_type) & _M32)) & _M32
+        cksum ^= (_HEADER_HASH * (((~self.transform_type) >> 32) & _M32)) & _M32
+        cksum ^= (_HEADER_HASH * ((~self.transform_type) & _M32)) & _M32
+        cksum ^= (_HEADER_HASH * ((~self.block_size) & _M32)) & _M32
+        if sz_mask:
+            cksum ^= (_HEADER_HASH * (((~self.input_size) >> 32) & _M32)) & _M32
+            cksum ^= (_HEADER_HASH * ((~self.input_size) & _M32)) & _M32
+        return ((cksum >> 23) ^ (cksum >> 3)) & 0xFFFFFF
+
+    # -- data path -------------------------------------------------------
+    def write(self, data) -> int:
+        if self._closed:
+            raise KanziError("Stream closed", ERR_WRITE_FILE)
+        self._pending += bytes(data)
+        limit = self.jobs * self.block_size
+        while len(self._pending) >= limit:
+            self._process_batch(self._pending[:limit])
+            del self._pending[:limit]
+        return len(data)
+
+    def _encode_one(self, args):
+        block, block_id = args
+        data = np.frombuffer(block, dtype=np.uint8)
+        ctx = dict(self.ctx)
+        if self.listeners:
+            checksum = _block_checksum(data, self.checksum_bits) if self.checksum_bits else 0
+            _notify(self.listeners, Event(
+                EventType.BEFORE_TRANSFORM, block_id, len(data), checksum,
+                HashType(self.checksum_bits // 32), time.time()))
+        return compress_block_payload(data, self.transform_type,
+                                      self.entropy_type, ctx, self.checksum_bits)
+
+    def _process_batch(self, batch: bytes) -> None:
+        self._write_header()
+        if not batch:
+            return
+        blocks = [batch[i:i + self.block_size]
+                  for i in range(0, len(batch), self.block_size)]
+        args = [(b, self._block_id + i + 1) for i, b in enumerate(blocks)]
+        if self._pool is not None and len(blocks) > 1:
+            results = list(self._pool.map(self._encode_one, args))
+        else:
+            results = [self._encode_one(a) for a in args]
+        for payload, bits in results:
+            self._write_frame(payload, bits)
+        self._block_id += len(blocks)
+
+    def _write_frame(self, payload: bytes, bits: int) -> None:
+        lw = 3 if bits < 8 else internal.log2_no_check(bits >> 3) + 4
+        self._bw.write_bits(lw - 3, 5)
+        self._bw.write_bits(bits, lw)
+        self._bw.write_array(payload, bits)
+        self._flush_chunks()
+
+    def _flush_chunks(self) -> None:
+        # move completed bytes out to the underlying stream
+        data = self._bw._chunks
+        if data:
+            for chunk in data:
+                self._os.write(chunk)
+            data.clear()
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._process_batch(bytes(self._pending))
+        self._pending.clear()
+        # end-of-stream marker: zero-length block
+        self._bw.write_bits(0, 5)
+        self._bw.write_bits(0, 3)
+        self._bw.close()
+        self._flush_chunks()
+        self._closed = True
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+
+    @property
+    def written_bytes(self) -> int:
+        return (self._bw.written + 7) >> 3
+
+
+class Reader:
+    """Decompressing reader for KANZ streams (v5/v6 headers; v6 payloads).
+
+    Accepts bytes or a file-like object (slurped). Mirrors kio.NewReader
+    (reference: v2/io/CompressedStream.go:1047-1110).
+    """
+
+    def __init__(self, source, jobs: int = 1, headerless: bool = False,
+                 ctx: dict | None = None):
+        if hasattr(source, "read"):
+            source = source.read()
+        self._br = BitReader(source)
+        self.ctx = dict(ctx) if ctx else {}
+        self.ctx.setdefault("jobs", jobs)
+        self.headerless = headerless or bool(self.ctx.get("headerless", False))
+        self.jobs = int(self.ctx.get("jobs", 1))
+        if not 1 <= self.jobs <= MAX_CONCURRENCY:
+            raise KanziError(
+                f"The number of jobs must be in [1..{MAX_CONCURRENCY}], got {self.jobs}",
+                ERR_INVALID_PARAM)
+        self._initialized = False
+        self._eos = False
+        self._block_id = 0
+        self._out = bytearray()
+        self._out_pos = 0
+        self.outputSize = 0
+        self.listeners: list = []
+        self.checksum_bits = 0
+        self._pool = ThreadPoolExecutor(max_workers=self.jobs) if self.jobs > 1 else None
+        if self.headerless:
+            self._init_headerless()
+
+    def add_listener(self, bl) -> bool:
+        if bl is None:
+            return False
+        self.listeners.append(bl)
+        return True
+
+    def _init_headerless(self) -> None:
+        self._initialized = True
+        self.entropy_type = entropy_mod.get_type(str(self.ctx.get("entropy", "NONE")))
+        self.transform_type = transforms_mod.get_type(str(self.ctx.get("transform", "NONE")))
+        self.block_size = int(self.ctx.get("blockSize", 4 * 1024 * 1024))
+        self.checksum_bits = int(self.ctx.get("checksum", 0))
+        self.outputSize = int(self.ctx.get("outputSize", 0) or 0)
+        self.ctx.setdefault("bsVersion", BITSTREAM_FORMAT_VERSION)
+
+    def _read_header(self) -> None:
+        if self._initialized:
+            return
+        self._initialized = True
+        br = self._br
+        if br.read_bits(32) != BITSTREAM_TYPE:
+            raise KanziError("Invalid stream type", ERR_INVALID_FILE)
+        bs_version = br.read_bits(4)
+        if bs_version > BITSTREAM_FORMAT_VERSION or bs_version < 5:
+            raise KanziError(
+                f"Invalid bitstream, cannot read this version of the stream: {bs_version}",
+                ERR_STREAM_VERSION)
+        self.ctx["bsVersion"] = bs_version
+
+        ck_size = 0
+        if bs_version >= 6:
+            ck_size = br.read_bits(2)
+            if ck_size == 3:
+                raise KanziError(
+                    f"Invalid bitstream, incorrect checksum size: {ck_size}",
+                    ERR_INVALID_CODEC)
+            self.checksum_bits = {0: 0, 1: 32, 2: 64}[ck_size]
+        else:
+            if br.read_bit() == 1:
+                self.checksum_bits = 32
+                ck_size = 1
+
+        self.entropy_type = br.read_bits(5)
+        try:
+            self.ctx["entropy"] = entropy_mod.get_name(self.entropy_type)
+        except ValueError:
+            raise KanziError(
+                f"Invalid bitstream, incorrect entropy type: {self.entropy_type}",
+                ERR_INVALID_CODEC)
+        self.transform_type = br.read_bits(48)
+        try:
+            self.ctx["transform"] = transforms_mod.get_name(self.transform_type)
+        except ValueError:
+            raise KanziError(
+                f"Invalid bitstream, incorrect transform type: {self.transform_type}",
+                ERR_INVALID_CODEC)
+        self.block_size = br.read_bits(28) << 4
+        if not MIN_BITSTREAM_BLOCK_SIZE <= self.block_size <= MAX_BITSTREAM_BLOCK_SIZE:
+            raise KanziError(
+                f"Invalid bitstream, incorrect block size: {self.block_size}",
+                ERR_BLOCK_SIZE)
+        self.ctx["blockSize"] = self.block_size
+
+        sz_mask = br.read_bits(2)
+        if sz_mask:
+            self.outputSize = br.read_bits(16 * sz_mask)
+            self.ctx["outputSize"] = self.outputSize
+
+        crc_size, seed = 16, bs_version
+        if bs_version >= 6:
+            br.read_bits(15)  # padding
+            crc_size = 24
+            seed = (0x01030507 * bs_version) & _M32
+
+        cksum1 = br.read_bits(crc_size)
+        cksum2 = (_HEADER_HASH * seed) & _M32
+        if bs_version >= 6:
+            cksum2 ^= (_HEADER_HASH * ((~ck_size) & _M32)) & _M32
+        cksum2 ^= (_HEADER_HASH * ((~self.entropy_type) & _M32)) & _M32
+        cksum2 ^= (_HEADER_HASH * (((~self.transform_type) >> 32) & _M32)) & _M32
+        cksum2 ^= (_HEADER_HASH * ((~self.transform_type) & _M32)) & _M32
+        cksum2 ^= (_HEADER_HASH * ((~self.block_size) & _M32)) & _M32
+        if sz_mask:
+            cksum2 ^= (_HEADER_HASH * (((~self.outputSize) >> 32) & _M32)) & _M32
+            cksum2 ^= (_HEADER_HASH * ((~self.outputSize) & _M32)) & _M32
+        cksum2 = ((cksum2 >> 23) ^ (cksum2 >> 3)) & ((1 << crc_size) - 1)
+        if cksum1 != cksum2:
+            raise KanziError("Invalid bitstream: checksum mismatch", ERR_CRC_CHECK)
+
+    def _read_next_block(self) -> bool:
+        """Read+decode the next block into the output buffer.
+        Returns False at end of stream."""
+        br = self._br
+        lw = br.read_bits(5) + 3
+        bits = br.read_bits(lw)
+        if bits == 0:
+            return False
+        if bits > 1 << 34:
+            raise KanziError("Invalid block size", ERR_BLOCK_SIZE)
+        payload = br.read_array(bits)
+        self._block_id += 1
+
+        frm = self.ctx.get("from")
+        to = self.ctx.get("to")
+        if frm is not None and self._block_id < frm:
+            return True
+        if to is not None and self._block_id >= to:
+            return True
+
+        data = decompress_block_payload(payload, self.transform_type,
+                                        self.entropy_type, self.ctx,
+                                        self.block_size, self.checksum_bits)
+        if len(data) > self.block_size:
+            raise KanziError(f"Block {self._block_id} incorrectly decompressed",
+                             ERR_PROCESS_BLOCK)
+        self._out += data
+        return True
+
+    def read(self, n: int = -1) -> bytes:
+        if not self._initialized:
+            self._read_header()
+        while not self._eos and (n < 0 or len(self._out) - self._out_pos < n):
+            if not self._read_next_block():
+                self._eos = True
+        end = len(self._out) if n < 0 else min(len(self._out), self._out_pos + n)
+        res = bytes(self._out[self._out_pos:end])
+        self._out_pos = end
+        return res
+
+    def read_all(self) -> bytes:
+        return self.read(-1)
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)

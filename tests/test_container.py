@@ -1,0 +1,134 @@
+import io
+import random
+
+import pytest
+
+import kanzi_tpu
+from kanzi_tpu.bitstream import BitReader
+from kanzi_tpu.core import BITSTREAM_TYPE, BITSTREAM_FORMAT_VERSION, KanziError
+
+
+def roundtrip(data: bytes, **kw) -> bytes:
+    blob = kanzi_tpu.compress(data, **kw)
+    assert kanzi_tpu.decompress(blob) == data
+    return blob
+
+
+@pytest.mark.parametrize("n", [0, 1, 5, 15, 16, 100, 1023, 1024, 4096, 100_000])
+def test_level0_roundtrip_sizes(n):
+    rng = random.Random(n)
+    data = bytes(rng.randrange(256) for _ in range(n))
+    roundtrip(data, level=0, block_size=4096)
+
+
+def test_multi_block_and_partial_tail():
+    data = (b"hello world " * 1000)[:10_000]
+    blob = roundtrip(data, level=0, block_size=1024)
+    # 10 blocks of 1024 + tail of 240 bytes
+    assert kanzi_tpu.decompress(blob) == data
+
+
+@pytest.mark.parametrize("checksum", [0, 32, 64])
+def test_checksums(checksum):
+    data = bytes(range(256)) * 20
+    roundtrip(data, level=0, block_size=1024, checksum=checksum)
+
+
+def test_header_fields_exact():
+    data = b"x" * 2000
+    blob = kanzi_tpu.compress(data, transform="NONE", entropy="NONE",
+                              block_size=1024, checksum=32)
+    br = BitReader(blob)
+    assert br.read_bits(32) == BITSTREAM_TYPE
+    assert br.read_bits(4) == BITSTREAM_FORMAT_VERSION
+    assert br.read_bits(2) == 1  # checksum 32
+    assert br.read_bits(5) == 0  # entropy NONE
+    assert br.read_bits(48) == 0  # transform NONE
+    assert br.read_bits(28) == 1024 >> 4
+    sz_mask = br.read_bits(2)
+    assert sz_mask == 1  # 2000 < 2^16
+    assert br.read_bits(16) == 2000
+    br.read_bits(15)  # padding
+    br.read_bits(24)  # crc verified by the Reader below
+    assert kanzi_tpu.decompress(blob) == data
+
+
+def test_small_block_copy_mode_byte():
+    # blocks <= 15 bytes are stored in copy mode with mode byte 0x87
+    data = b"tiny"
+    blob = kanzi_tpu.compress(data, level=0, block_size=1024)
+    br = BitReader(blob)
+    # skip the fixed 122-bit header (szMask=1 -> +16 bits)
+    br.read_bits(32 + 4 + 2 + 5)
+    br.read_bits(48)
+    br.read_bits(28)
+    sz_mask = br.read_bits(2)
+    br.read_bits(16 * sz_mask + 15 + 24)
+    lw = br.read_bits(5) + 3
+    bits = br.read_bits(lw)
+    payload = br.read_array(bits)
+    assert payload[0] == 0x87  # copy | dataSize-1=0 | skipFlags 0x7F>>4
+    assert payload[1] == len(data)
+    assert payload[2:2 + len(data)] == data
+
+
+def test_empty_input_stream_structure():
+    blob = kanzi_tpu.compress(b"", level=0)
+    # header (30 bytes incl crc for szMask=0) + end marker (5+3 bits)
+    assert kanzi_tpu.decompress(blob) == b""
+
+
+def test_corrupt_magic_rejected():
+    blob = bytearray(kanzi_tpu.compress(b"hello world, hello", level=0))
+    blob[0] ^= 0xFF
+    with pytest.raises(KanziError):
+        kanzi_tpu.decompress(bytes(blob))
+
+
+def test_corrupt_header_crc_rejected():
+    blob = bytearray(kanzi_tpu.compress(b"hello world, hello", level=0))
+    blob[10] ^= 0x04  # inside transform/blockSize fields
+    with pytest.raises(KanziError):
+        kanzi_tpu.decompress(bytes(blob))
+
+
+def test_corrupt_payload_checksum_detected():
+    data = b"some repetitive data " * 200
+    blob = bytearray(kanzi_tpu.compress(data, level=0, checksum=32))
+    blob[-10] ^= 0x40
+    with pytest.raises(KanziError):
+        kanzi_tpu.decompress(bytes(blob))
+
+
+def test_headerless_roundtrip():
+    data = b"headerless mode test data " * 50
+    blob = kanzi_tpu.compress(data, level=0, block_size=1024, headerless=True)
+    out = kanzi_tpu.decompress(
+        blob, headerless=True,
+        ctx={"transform": "NONE", "entropy": "NONE", "blockSize": 1024,
+             "checksum": 0})
+    assert out == data
+
+
+def test_jobs_determinism():
+    data = bytes(random.Random(5).randrange(256) for _ in range(50_000))
+    blobs = {kanzi_tpu.compress(data, level=0, block_size=1024, jobs=j)
+             for j in (1, 2, 7)}
+    assert len(blobs) == 1  # same bytes regardless of job count
+
+
+def test_writer_streaming_api():
+    out = io.BytesIO()
+    w = kanzi_tpu.Writer(out, transform="NONE", entropy="NONE", block_size=1024)
+    for i in range(100):
+        w.write(bytes([i]) * 37)
+    w.close()
+    assert kanzi_tpu.decompress(out.getvalue()) == b"".join(
+        bytes([i]) * 37 for i in range(100))
+
+
+def test_from_to_block_range():
+    data = b"A" * 1024 + b"B" * 1024 + b"C" * 1024
+    blob = kanzi_tpu.compress(data, level=0, block_size=1024)
+    out = kanzi_tpu.decompress(blob, ctx={"from": 2, "to": 3})
+    assert out == b"B" * 1024
