@@ -1,0 +1,196 @@
+"""ctypes bindings for the C++ host runtime (libkanzi_native.so).
+
+The library auto-builds on first import (g++ via make) and is cached under
+native/build/. Set KANZI_TPU_NO_NATIVE=1 to disable (pure-Python fallbacks
+only cover a subset of codecs and are orders of magnitude slower).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "build", "libkanzi_native.so")
+_lock = threading.Lock()
+_lib = None
+
+
+class Ctx(ctypes.Structure):
+    _fields_ = [
+        ("bsVersion", ctypes.c_int32),
+        ("blockSize", ctypes.c_int32),
+        ("size", ctypes.c_int32),
+        ("entropyType", ctypes.c_int32),
+        ("dataType", ctypes.c_int32),
+        ("lzVariant", ctypes.c_int32),
+        ("sbrtMode", ctypes.c_int32),
+        ("textCodecVariant", ctypes.c_int32),
+        ("packOnlyDNA", ctypes.c_int32),
+        ("extra", ctypes.c_int32),
+        ("jobs", ctypes.c_int32),
+        ("histo", ctypes.c_int32 * 256),
+        ("hasHisto", ctypes.c_int32),
+    ]
+
+
+def _build() -> None:
+    sources = [os.path.join(_DIR, "src", f) for f in os.listdir(os.path.join(_DIR, "src"))]
+    if os.path.exists(_LIB_PATH):
+        lib_mtime = os.path.getmtime(_LIB_PATH)
+        if all(os.path.getmtime(s) < lib_mtime for s in sources):
+            return
+    res = subprocess.run(["make", "-j", "-C", _DIR], capture_output=True, text=True)
+    if res.returncode != 0:
+        raise RuntimeError(f"native build failed:\n{res.stdout}\n{res.stderr}")
+
+
+def get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if os.environ.get("KANZI_TPU_NO_NATIVE"):
+            raise RuntimeError("native library disabled by KANZI_TPU_NO_NATIVE")
+        _build()
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.kz_entropy_encode.restype = ctypes.c_int64
+        lib.kz_entropy_encode.argtypes = [
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.POINTER(Ctx)]
+        lib.kz_entropy_decode.restype = ctypes.c_int64
+        lib.kz_entropy_decode.argtypes = [
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.POINTER(Ctx)]
+        lib.kz_transform_forward.restype = ctypes.c_int
+        lib.kz_transform_forward.argtypes = [
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.POINTER(Ctx), ctypes.POINTER(ctypes.c_int32)]
+        lib.kz_transform_inverse.restype = ctypes.c_int
+        lib.kz_transform_inverse.argtypes = lib.kz_transform_forward.argtypes
+        lib.kz_xxhash32.restype = ctypes.c_uint32
+        lib.kz_xxhash32.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint32]
+        lib.kz_xxhash64.restype = ctypes.c_uint64
+        lib.kz_xxhash64.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint64]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    try:
+        get_lib()
+        return True
+    except Exception:
+        return False
+
+
+def make_ctx(ctx: dict) -> Ctx:
+    c = Ctx()
+    c.bsVersion = int(ctx.get("bsVersion", 6))
+    c.blockSize = int(ctx.get("blockSize", 4 * 1024 * 1024))
+    c.size = int(ctx.get("size", 0))
+    c.entropyType = 0
+    ename = ctx.get("entropy")
+    if ename:
+        from .. import entropy as entropy_mod
+        try:
+            c.entropyType = entropy_mod.get_type(str(ename))
+        except ValueError:
+            pass
+    c.dataType = int(ctx.get("dataType", 0))
+    c.lzVariant = int(ctx.get("lz", 0))
+    c.sbrtMode = int(ctx.get("sbrt", 0))
+    c.textCodecVariant = int(ctx.get("textcodec", 1))
+    c.packOnlyDNA = 1 if ctx.get("packOnlyDNA") else 0
+    c.extra = 1 if ctx.get("extra") else 0
+    c.jobs = int(ctx.get("jobs", 1))
+    c.hasHisto = 0
+    return c
+
+
+def _as_buf(data) -> np.ndarray:
+    if isinstance(data, np.ndarray):
+        return np.ascontiguousarray(data.view(np.uint8))
+    return np.frombuffer(data, dtype=np.uint8)
+
+
+def entropy_encode(etype: int, data, ctx: dict) -> tuple[bytes, int]:
+    """Returns (payload_bytes, exact_bit_length)."""
+    lib = get_lib()
+    src = _as_buf(data)
+    n = len(src)
+    cap = max(2 * n + 65536, 1 << 16)
+    dst = np.empty(cap, dtype=np.uint8)
+    c = make_ctx(ctx)
+    bits = lib.kz_entropy_encode(etype, src.ctypes.data, n, dst.ctypes.data,
+                                 cap, ctypes.byref(c))
+    if bits < 0:
+        raise RuntimeError(f"native entropy encode failed (etype={etype}, err={bits})")
+    return dst[: (bits + 7) // 8].tobytes(), int(bits)
+
+
+def entropy_decode(etype: int, payload, out_len: int, ctx: dict) -> bytes:
+    lib = get_lib()
+    src = _as_buf(payload)
+    dst = np.empty(max(out_len, 1), dtype=np.uint8)
+    c = make_ctx(ctx)
+    res = lib.kz_entropy_decode(etype, src.ctypes.data, len(src),
+                                dst.ctypes.data, out_len, ctypes.byref(c))
+    if res < 0:
+        raise RuntimeError(f"native entropy decode failed (etype={etype}, err={res})")
+    return dst[:out_len].tobytes()
+
+
+class NativeSkip(Exception):
+    pass
+
+
+def transform_forward(ttype: int, data, ctx: dict, max_encoded_len: int) -> tuple[bytes, dict]:
+    lib = get_lib()
+    src = _as_buf(data)
+    cap = max(max_encoded_len, len(src), 1024)
+    dst = np.empty(cap, dtype=np.uint8)
+    out_len = ctypes.c_int32(0)
+    c = make_ctx(ctx)
+    res = lib.kz_transform_forward(ttype, src.ctypes.data, len(src),
+                                   dst.ctypes.data, cap, ctypes.byref(c),
+                                   ctypes.byref(out_len))
+    if res == 1:
+        raise NativeSkip()
+    if res != 0:
+        raise RuntimeError(f"native transform forward failed (ttype={ttype}, err={res})")
+    ctx["dataType"] = int(c.dataType)
+    return dst[: out_len.value].tobytes(), ctx
+
+
+def transform_inverse(ttype: int, data, ctx: dict, cap: int) -> bytes:
+    lib = get_lib()
+    src = _as_buf(data)
+    cap = max(cap, len(src), 1024)
+    dst = np.empty(cap, dtype=np.uint8)
+    out_len = ctypes.c_int32(0)
+    c = make_ctx(ctx)
+    res = lib.kz_transform_inverse(ttype, src.ctypes.data, len(src),
+                                   dst.ctypes.data, cap, ctypes.byref(c),
+                                   ctypes.byref(out_len))
+    if res != 0:
+        raise RuntimeError(f"native transform inverse failed (ttype={ttype}, err={res})")
+    return dst[: out_len.value].tobytes()
+
+
+def xxhash32_native(data, seed: int) -> int:
+    lib = get_lib()
+    buf = _as_buf(data)
+    return int(lib.kz_xxhash32(buf.ctypes.data, len(buf), seed & 0xFFFFFFFF))
+
+
+def xxhash64_native(data, seed: int) -> int:
+    lib = get_lib()
+    buf = _as_buf(data)
+    return int(lib.kz_xxhash64(buf.ctypes.data, len(buf), seed & 0xFFFFFFFFFFFFFFFF))

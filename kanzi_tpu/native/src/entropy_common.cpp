@@ -1,0 +1,215 @@
+#include "entropy_common.h"
+
+namespace kz {
+
+void computeHistogram(const u8* block, i64 len, i32* freqs) {
+    std::memset(freqs, 0, 256 * sizeof(i32));
+    // 4-way split to break the dependency chain
+    i32 h0[256] = {0}, h1[256] = {0}, h2[256] = {0}, h3[256] = {0};
+    i64 n = 0;
+    for (; n + 4 <= len; n += 4) {
+        h0[block[n]]++;
+        h1[block[n + 1]]++;
+        h2[block[n + 2]]++;
+        h3[block[n + 3]]++;
+    }
+    for (; n < len; n++) h0[block[n]]++;
+    for (int i = 0; i < 256; i++) freqs[i] = h0[i] + h1[i] + h2[i] + h3[i];
+}
+
+int encodeAlphabet(OBS& obs, const int* alphabet, int count) {
+    // Full alphabet: 2 bits. Partial: 1 + 5 bits + 8*(lastMask+1) presence
+    // bitmap (reference: v2/entropy/EntropyUtils.go:38-67).
+    if (count > 256) throw Error("alphabet too large");
+    if (count == 0) {
+        obs.writeBit(0);  // FULL
+        obs.writeBit(1);  // ALPHABET_0
+    } else if (count == 256) {
+        obs.writeBit(0);  // FULL
+        obs.writeBit(0);  // ALPHABET_256
+    } else {
+        obs.writeBit(1);  // PARTIAL
+        u8 masks[32] = {0};
+        for (int i = 0; i < count; i++)
+            masks[alphabet[i] >> 3] |= (u8)(1 << (alphabet[i] & 7));
+        int lastMask = alphabet[count - 1] >> 3;
+        obs.writeBits((u64)lastMask, 5);
+        obs.writeArray(masks, 8 * (u64)(lastMask + 1));
+    }
+    return count;
+}
+
+int decodeAlphabet(IBS& ibs, int* alphabet) {
+    if (ibs.readBit() == 0) {  // FULL
+        if (ibs.readBit() == 1) return 0;
+        for (int i = 0; i < 256; i++) alphabet[i] = i;
+        return 256;
+    }
+    int lastMask = (int)ibs.readBits(5);
+    u8 masks[32] = {0};
+    ibs.readArray(masks, 8 * (u64)(lastMask + 1));
+    int count = 0;
+    for (int i = 0; i <= lastMask; i++) {
+        for (int j = 0; j < 8; j++) {
+            if ((masks[i] >> j) & 1) {
+                if (count >= 256) throw Error("invalid alphabet");
+                alphabet[count++] = i * 8 + j;
+            }
+        }
+    }
+    return count;
+}
+
+int normalizeFrequencies(i32* freqs, int freqsLen, int* alphabet, int totalFreq, int scale) {
+    // Error-spreading normalization; determines ANS/Range tables so the
+    // integer steps match the reference exactly
+    // (v2/entropy/EntropyUtils.go:123-260).
+    if (freqsLen > 256) throw Error("invalid alphabet size");
+    if (scale < 256 || scale > 65536) throw Error("invalid range");
+    if (freqsLen == 0 || totalFreq == 0) return 0;
+
+    int alphabetSize = 0;
+    if (totalFreq == scale) {
+        for (int i = 0; i < 256; i++)
+            if (freqs[i] != 0) alphabet[alphabetSize++] = i;
+        return alphabetSize;
+    }
+
+    int sumScaledFreq = 0, sumFreq = 0, idxMax = 0;
+    for (int i = 0; i < freqsLen; i++) {
+        alphabet[i] = 0;
+        int f = freqs[i];
+        if (f == 0) continue;
+        i64 sf = (i64)f * scale;
+        int scaledFreq;
+        if (sf <= totalFreq)
+            scaledFreq = 1;
+        else
+            scaledFreq = (int)((sf + (totalFreq >> 1)) / totalFreq);
+        alphabet[alphabetSize++] = i;
+        sumScaledFreq += scaledFreq;
+        freqs[i] = scaledFreq;
+        sumFreq += f;
+        if (scaledFreq > freqs[idxMax]) idxMax = i;
+        if (sumFreq >= totalFreq) break;
+    }
+
+    if (alphabetSize == 0) return 0;
+    if (alphabetSize == 1) {
+        freqs[alphabet[0]] = scale;
+        return 1;
+    }
+    if (sumScaledFreq == scale) return alphabetSize;
+
+    int delta = sumScaledFreq - scale;
+    int errThr = freqs[idxMax] >> 4;
+    int absDelta = delta < 0 ? -delta : delta;
+    int inc;
+    if (absDelta <= errThr) {
+        freqs[idxMax] -= delta;
+        return alphabetSize;
+    }
+    if (delta < 0) {
+        delta += errThr;
+        freqs[idxMax] += errThr;
+        inc = 1;
+        delta = -delta;
+    } else {
+        delta -= errThr;
+        freqs[idxMax] -= errThr;
+        inc = -1;
+    }
+
+    int round = 1;
+    while (round < 6 && delta > 0) {
+        int adjustments = 0;
+        round++;
+        for (int k = 0; k < alphabetSize; k++) {
+            int idx = alphabet[k];
+            if (freqs[idx] <= 2) continue;  // don't distort/zero tiny freqs
+            freqs[idx] += inc;
+            adjustments++;
+            delta--;
+            if (delta == 0) break;
+        }
+        if (adjustments == 0) break;
+    }
+
+    freqs[idxMax] = std::max(freqs[idxMax] - delta, 1);
+    return alphabetSize;
+}
+
+int writeVarInt(OBS& obs, u32 value) {
+    int res = 1;
+    while (value >= 128) {
+        obs.writeBits((u64)(0x80 | (value & 0x7F)), 8);
+        value >>= 7;
+        res++;
+    }
+    obs.writeBits((u64)value, 8);
+    return res;
+}
+
+u32 readVarInt(IBS& ibs) {
+    u32 res = 0;
+    u32 shift = 0;
+    for (int i = 0; i < 4; i++) {
+        u32 value = (u32)ibs.readBits(8);
+        res |= (value & 0x7F) << shift;
+        if (value < 128) return res;
+        shift += 7;
+    }
+    u32 value = (u32)ibs.readBits(8);
+    return res | ((value & 0x0F) << 28);
+}
+
+ExpGolombEncoder::ExpGolombEncoder(OBS& obs, bool signed_) : obs_(obs) {
+    // cache[v] = (bit count << 9) | bit pattern
+    cache_[0] = 0;
+    for (int v = 1; v < 256; v++) {
+        if (!signed_) {
+            // the reference table mirrors for v > 127: codes abs(int8(v))
+            int sv = (i8)v;
+            u32 a = (u32)(sv < 0 ? -sv : sv);  // abs(-128) = 128
+            if (v == 128) a = 128;
+            u32 log2v = log2_32(a + 1);
+            u32 len = 2 * log2v + 1;
+            u32 bits = a + 1;  // log2v zeros then binary(a+1)
+            cache_[v] = (len << 9) | bits;
+        } else {
+            int sv = (i8)v;
+            u32 a = (u32)(sv < 0 ? -sv : sv);
+            u32 log2v = log2_32(a + 1);
+            u32 len = 2 * log2v + 2;
+            u32 val = ((a + 1 - (1u << log2v)) << 1) | (u32)(sv < 0 ? 1 : 0);
+            u32 bits = (1u << (log2v + 1)) | val;
+            cache_[v] = (len << 9) | bits;
+        }
+    }
+}
+
+void ExpGolombEncoder::encodeByte(u8 val) {
+    if (val == 0) {
+        obs_.writeBit(1);
+        return;
+    }
+    u32 emit = cache_[val];
+    obs_.writeBits((u64)(emit & 0x1FF), emit >> 9);
+}
+
+u8 ExpGolombDecoder::decodeByte() {
+    if (ibs_.readBit() == 1) return 0;
+    u32 log2v = 1;
+    while (ibs_.readBit() == 0) log2v++;
+    log2v &= 7;  // clamp, no corruption detection (matches reference)
+    if (signed_) {
+        u32 val = (u32)ibs_.readBits(log2v + 1);
+        u32 res = (val >> 1) + (1u << log2v) - 1;
+        if (val & 1) res = ~res + 1;
+        return (u8)res;
+    }
+    u32 val = (u32)ibs_.readBits(log2v);
+    return (u8)((1u << log2v) - 1 + val);
+}
+
+}  // namespace kz

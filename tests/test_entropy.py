@@ -1,0 +1,65 @@
+"""Entropy codec round-trip tests.
+
+Mirrors the reference test strategy (v2/entropy/Entropy_test.go): constant
+runs, ASCII-like data, alternating symbols, tiny inputs, narrow-alphabet
+random data — through the container so framing is exercised too.
+"""
+
+import random
+
+import pytest
+
+import kanzi_tpu
+
+# codecs are added here as they are implemented
+CODECS = ["NONE", "HUFFMAN", "ANS0", "ANS1", "RANGE", "FPAQ", "CM"]
+
+
+def _cases():
+    rng = random.Random(1234)
+    cases = {
+        "empty": b"",
+        "one": b"A",
+        "two": b"AB",
+        "constant": b"\x07" * 80000,
+        "alternating": bytes(i & 1 for i in range(10000)),
+        "ascii": bytes(rng.randrange(32, 127) for _ in range(50000)),
+        "narrow5": bytes(rng.randrange(5) for _ in range(30000)),
+        "narrow2_256": bytes(rng.randrange(256) if i % 7 else 0
+                             for i in range(256)),
+        "random": bytes(rng.randrange(256) for _ in range(65536)),
+        "text": (b"it was the best of times, it was the worst of times " * 800),
+        "chunk_boundary": bytes(rng.randrange(64) for _ in range(16384 + 17)),
+        "small31": bytes(rng.randrange(256) for _ in range(31)),
+        "small32": bytes(rng.randrange(256) for _ in range(32)),
+    }
+    return cases
+
+
+@pytest.mark.parametrize("codec", CODECS)
+def test_entropy_roundtrip(codec):
+    from kanzi_tpu import entropy as em
+    try:
+        etype = em.get_type(codec)
+        em.encode(etype, b"probe" * 20, {"bsVersion": 6, "blockSize": 1024,
+                                         "size": 100})
+    except (RuntimeError, NotImplementedError):
+        pytest.skip(f"{codec} not implemented yet")
+    for name, data in _cases().items():
+        blob = kanzi_tpu.compress(data, transform="NONE", entropy=codec,
+                                  block_size=1024 * 64, checksum=32)
+        out = kanzi_tpu.decompress(blob)
+        assert out == data, f"{codec} roundtrip failed on case '{name}'"
+
+
+def test_huffman_beats_raw_on_text():
+    data = open("/root/repo/SURVEY.md", "rb").read()
+    blob = kanzi_tpu.compress(data, transform="NONE", entropy="HUFFMAN")
+    assert len(blob) < 0.75 * len(data)
+
+
+def test_huffman_random_incompressible_overhead_small():
+    import os
+    data = os.urandom(100000)
+    blob = kanzi_tpu.compress(data, transform="NONE", entropy="HUFFMAN")
+    assert len(blob) < 1.01 * len(data) + 256
