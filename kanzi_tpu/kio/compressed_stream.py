@@ -54,11 +54,18 @@ def _notify(listeners, evt: Event) -> None:
 
 
 def _block_checksum(data: np.ndarray, checksum_bits: int) -> int:
+    if checksum_bits == 0:
+        return 0
+    try:
+        from .. import native
+        if checksum_bits == 32:
+            return native.xxhash32_native(data, BITSTREAM_TYPE)
+        return native.xxhash64_native(data, BITSTREAM_TYPE)
+    except Exception:
+        pass
     if checksum_bits == 32:
         return xxhash32(data.tobytes(), BITSTREAM_TYPE)
-    if checksum_bits == 64:
-        return xxhash64(data.tobytes(), BITSTREAM_TYPE)
-    return 0
+    return xxhash64(data.tobytes(), BITSTREAM_TYPE)
 
 
 def compress_block_payload(data: np.ndarray, transform_type: int,

@@ -17,12 +17,23 @@ KZ_STUB(void fpaqDecode(IBS&, u8*, i64, int))
 KZ_STUB(void binaryEncode(OBS&, const u8*, i64, int, const Ctx&))
 KZ_STUB(void binaryDecode(IBS&, u8*, i64, int, const Ctx&))
 
-int transformForward(int, const u8*, i32, u8*, i64, Ctx&, i32*) {
-    return -2;  // unknown transform
-}
+#define KZ_TSTUB(name) \
+    int name(const u8*, i32, u8*, i64, Ctx&, i32*) { return -2; }
+#define KZ_TSTUB2(name) \
+    int name(const u8*, i32, u8*, i64, i32*) { return -2; }
 
-int transformInverse(int, const u8*, i32, u8*, i64, Ctx&, i32*) {
-    return -2;
-}
+KZ_TSTUB2(zrltForward) KZ_TSTUB2(zrltInverse)
+KZ_TSTUB(rltForward) KZ_TSTUB(rltInverse)
+KZ_TSTUB2(srtForward) KZ_TSTUB2(srtInverse)
+int sbrtForward(const u8*, i32, u8*, i64, int, i32*) { return -2; }
+int sbrtInverse(const u8*, i32, u8*, i64, int, i32*) { return -2; }
+KZ_TSTUB(bwtBlockForward) KZ_TSTUB(bwtBlockInverse)
+KZ_TSTUB(bwtsForward) KZ_TSTUB(bwtsInverse)
+KZ_TSTUB(textForward) KZ_TSTUB(textInverse)
+KZ_TSTUB(utfForward) KZ_TSTUB(utfInverse)
+KZ_TSTUB(fsdForward) KZ_TSTUB(fsdInverse)
+KZ_TSTUB(exeForward) KZ_TSTUB(exeInverse)
+int rolzForward(const u8*, i32, u8*, i64, Ctx&, i32*, bool) { return -2; }
+int rolzInverse(const u8*, i32, u8*, i64, Ctx&, i32*, bool) { return -2; }
 
 }  // namespace kz
