@@ -1,0 +1,419 @@
+// rANS order-0 / order-1 codec, 4 interleaved states (ryg_rans style).
+//
+// Format spec: reference v2/entropy/ANSRangeCodec.go.
+// Per chunk: 3-bit logRange, then per-context alphabet + log-max-bit-packed
+// frequencies (chunks of 8/6 symbols, first frequency inferred), then a
+// varint payload byte count, four 32-bit final states, and the payload.
+// The encoder runs the 4 states over the chunk in reverse order with
+// reciprocal-multiply division; the decoder runs them forward. Order 1 uses
+// 256 contexts (previous byte) with the 4 lanes starting at chunk quarters.
+//
+// The 4-state layout is the device-kernel vector axis (kanzi_tpu/ops/ans.py
+// batches lanes across chunks); this host version is the bit-exactness
+// oracle and single-chip fallback.
+
+#include "entropy_common.h"
+
+namespace kz {
+
+static constexpr int ANS_TOP = 1 << 15;
+static constexpr int ANS0_CHUNK_SIZE = 16384;
+static constexpr int ANS_MAX_CHUNK_SIZE = 1 << 27;
+static constexpr u32 ANS_DEFAULT_LOG_RANGE = 12;
+
+struct EncSymbol {
+    int xMax;
+    int bias;
+    int cmplFreq;
+    u32 invShift;
+    u64 invFreq;
+
+    void reset(int cumFreq, int freq, u32 logRange) {
+        freq = std::min(freq, (1 << logRange) - 1);
+        xMax = ((ANS_TOP >> logRange) << 16) * freq;
+        cmplFreq = (1 << logRange) - freq;
+        if (freq < 2) {
+            invFreq = 0xFFFFFFFF;
+            invShift = 32;
+            bias = cumFreq + (1 << logRange) - 1;
+        } else {
+            u32 shift = 0;
+            while (freq > (1 << shift)) shift++;
+            invFreq = ((((u64)1 << (shift + 31)) + (u64)(freq - 1)) / (u64)freq) & 0xFFFFFFFF;
+            invShift = 32 + shift - 1;
+            bias = cumFreq;
+        }
+    }
+};
+
+struct DecSymbol {
+    int cumFreq;
+    int freq;
+
+    void reset(int cumFreq_, int freq_, u32 logRange) {
+        freq = std::min(freq_, (1 << logRange) - 1);
+        cumFreq = cumFreq_;
+    }
+};
+
+// order-0 histogram with 257 stride (last = total)
+static void histoO0Total(const u8* block, i64 len, i32* freqs) {
+    computeHistogram(block, len, freqs);
+    freqs[256] = (i32)len;
+}
+
+// order-1 histogram over one quarter, 257 stride, prv=0 seed
+// (semantics of v2/internal/Global.go:260-303 applied per encoder lane)
+static void histoO1Total(const u8* block, i64 len, i32* freqs) {
+    u32 prv = 0;
+    for (i64 i = 0; i < len; i++) {
+        freqs[257 * prv + block[i]]++;
+        freqs[257 * prv + 256]++;
+        prv = block[i];
+    }
+}
+
+class ANSEncoder {
+  public:
+    ANSEncoder(OBS& obs, int order)
+        : obs_(obs), order_(order) {
+        chunkSize_ = order == 1 ? std::min(ANS0_CHUNK_SIZE << 8, ANS_MAX_CHUNK_SIZE)
+                                : ANS0_CHUNK_SIZE;
+        logRange_ = std::max(ANS_DEFAULT_LOG_RANGE - (u32)order, 8u);
+        int dim = 255 * order + 1;
+        freqs_.resize((size_t)dim * 257);
+        symbols_.resize((size_t)dim * 256);
+    }
+
+    void write(const u8* block, i64 len) {
+        if (len <= 32) {
+            obs_.writeArray(block, 8 * (u64)len);
+            return;
+        }
+        i64 size = std::min(2 * len, (i64)(chunkSize_ + (chunkSize_ >> 3)));
+        size = std::max(size, (i64)65536);
+        buffer_.resize(size);
+        i64 startChunk = 0;
+        while (startChunk < len) {
+            i64 endChunk = std::min(startChunk + (i64)chunkSize_, len);
+            int alphabetSize = rebuildStatistics(block + startChunk, endChunk - startChunk);
+            if (order_ == 1 || alphabetSize > 1)
+                encodeChunk(block + startChunk, (int)(endChunk - startChunk));
+            startChunk = endChunk;
+        }
+    }
+
+  private:
+    int rebuildStatistics(const u8* block, i64 len) {
+        std::fill(freqs_.begin(), freqs_.end(), 0);
+        if (order_ == 0) {
+            histoO0Total(block, len, freqs_.data());
+        } else {
+            i64 quarter = len >> 2;
+            if (quarter == 0) {
+                histoO1Total(block, len, freqs_.data());
+            } else {
+                for (int q = 0; q < 4; q++)
+                    histoO1Total(block + q * quarter, quarter, freqs_.data());
+            }
+        }
+        return updateFrequencies();
+    }
+
+    int updateFrequencies() {
+        int res = 0;
+        int endk = 255 * order_ + 1;
+        obs_.writeBits(logRange_ - 8, 3);
+        int alphabet[256];
+        for (int k = 0; k < endk; k++) {
+            i32* f = freqs_.data() + 257 * (size_t)k;
+            EncSymbol* symb = symbols_.data() + ((size_t)k << 8);
+            int alphabetSize = normalizeFrequencies(f, 256, alphabet, f[256], 1 << logRange_);
+            if (alphabetSize > 0) {
+                int sum = 0;
+                for (int i = 0, count = 0; i < 256; i++) {
+                    if (f[i] == 0) continue;
+                    symb[i].reset(sum, f[i], logRange_);
+                    sum += f[i];
+                    count++;
+                    if (count >= alphabetSize) break;
+                }
+            }
+            encodeHeader(alphabet, alphabetSize, f);
+            res += alphabetSize;
+        }
+        return res;
+    }
+
+    void encodeHeader(const int* alphabet, int alphabetSize, const i32* frequencies) {
+        encodeAlphabet(obs_, alphabet, alphabetSize);
+        if (alphabetSize <= 1) return;
+        int chkSize = alphabetSize < 64 ? 6 : 8;
+        u32 llr = 3;
+        while ((1u << llr) <= logRange_) llr++;
+        for (int i = 1; i < alphabetSize; i += chkSize) {
+            int maxv = frequencies[alphabet[i]] - 1;
+            u32 logMax = 0;
+            int endj = std::min(i + chkSize, alphabetSize);
+            for (int j = i + 1; j < endj; j++)
+                if (frequencies[alphabet[j]] - 1 > maxv) maxv = frequencies[alphabet[j]] - 1;
+            while ((1 << logMax) <= maxv) logMax++;
+            obs_.writeBits(logMax, llr);
+            if (logMax == 0) continue;
+            for (int j = i; j < endj; j++)
+                obs_.writeBits((u64)(frequencies[alphabet[j]] - 1), logMax);
+        }
+    }
+
+    inline void encodeSymbol(i64& n, int& st, const EncSymbol& sym) {
+        int x = (st >= sym.xMax) ? 1 : 0;
+        buffer_[n] = (u8)st;
+        n -= x;
+        buffer_[n] = (u8)(st >> 8);
+        n -= x;
+        st >>= (-x & 16);
+        st = st + sym.bias + (int)(((u64)st * sym.invFreq) >> sym.invShift) * sym.cmplFreq;
+    }
+
+    void encodeChunk(const u8* block, int len) {
+        int st0 = ANS_TOP, st1 = ANS_TOP, st2 = ANS_TOP, st3 = ANS_TOP;
+        i64 n = (i64)buffer_.size() - 1;
+        int end4 = len & ~3;
+
+        for (int i = len - 1; i >= end4; i--) buffer_[n--] = block[i];
+
+        if (order_ == 0) {
+            const EncSymbol* symb = symbols_.data();
+            for (int i = end4 - 1; i > 0; i -= 4) {
+                encodeSymbol(n, st0, symb[block[i]]);
+                encodeSymbol(n, st1, symb[block[i - 1]]);
+                encodeSymbol(n, st2, symb[block[i - 2]]);
+                encodeSymbol(n, st3, symb[block[i - 3]]);
+            }
+        } else if (len > 1) {
+            int quarter = end4 >> 2;
+            int i0 = 1 * quarter - 2, i1 = 2 * quarter - 2, i2 = 3 * quarter - 2,
+                i3 = end4 - 2;
+            int prv0 = block[i0 + 1], prv1 = block[i1 + 1], prv2 = block[i2 + 1],
+                prv3 = block[i3 + 1];
+            while (i0 >= 0) {
+                int cur0 = block[i0];
+                encodeSymbol(n, st0, symbols_[(cur0 << 8) | prv0]);
+                int cur1 = block[i1];
+                encodeSymbol(n, st1, symbols_[(cur1 << 8) | prv1]);
+                int cur2 = block[i2];
+                encodeSymbol(n, st2, symbols_[(cur2 << 8) | prv2]);
+                int cur3 = block[i3];
+                encodeSymbol(n, st3, symbols_[(cur3 << 8) | prv3]);
+                prv0 = cur0;
+                prv1 = cur1;
+                prv2 = cur2;
+                prv3 = cur3;
+                i0--;
+                i1--;
+                i2--;
+                i3--;
+            }
+            encodeSymbol(n, st0, symbols_[prv0]);
+            encodeSymbol(n, st1, symbols_[prv1]);
+            encodeSymbol(n, st2, symbols_[prv2]);
+            encodeSymbol(n, st3, symbols_[prv3]);
+        }
+
+        n++;
+        writeVarInt(obs_, (u32)((i64)buffer_.size() - n));
+        obs_.writeBits((u64)(u32)st0, 32);
+        obs_.writeBits((u64)(u32)st1, 32);
+        obs_.writeBits((u64)(u32)st2, 32);
+        obs_.writeBits((u64)(u32)st3, 32);
+        if ((i64)buffer_.size() != n)
+            obs_.writeArray(buffer_.data() + n, 8 * (u64)((i64)buffer_.size() - n));
+    }
+
+    OBS& obs_;
+    int order_;
+    int chunkSize_;
+    u32 logRange_;
+    std::vector<i32> freqs_;
+    std::vector<EncSymbol> symbols_;
+    std::vector<u8> buffer_;
+};
+
+class ANSDecoder {
+  public:
+    ANSDecoder(IBS& ibs, int order) : ibs_(ibs), order_(order) {
+        chunkSize_ = order == 1 ? std::min(ANS0_CHUNK_SIZE << 8, ANS_MAX_CHUNK_SIZE)
+                                : ANS0_CHUNK_SIZE;
+        logRange_ = ANS_DEFAULT_LOG_RANGE;
+        int dim = 255 * order + 1;
+        freqs_.resize((size_t)dim * 256);
+        symbols_.resize((size_t)dim * 256);
+    }
+
+    void read(u8* block, i64 len) {
+        if (len <= 32) {
+            ibs_.readArray(block, 8 * (u64)len);
+            return;
+        }
+        i64 startChunk = 0;
+        int alphabet[256];
+        while (startChunk < len) {
+            i64 endChunk = std::min(startChunk + (i64)chunkSize_, len);
+            int alphabetSize = decodeHeader(alphabet);
+            if (alphabetSize == 0) throw Error("invalid ANS header");
+            if (order_ == 0 && alphabetSize == 1) {
+                std::memset(block + startChunk, alphabet[0], endChunk - startChunk);
+            } else {
+                if (!decodeChunk(block + startChunk, (int)(endChunk - startChunk)))
+                    throw Error("invalid ANS chunk size");
+            }
+            startChunk = endChunk;
+        }
+    }
+
+  private:
+    int decodeHeader(int* alphabet) {
+        logRange_ = 8 + (u32)ibs_.readBits(3);
+        if (logRange_ > 16) throw Error("invalid ANS range");
+        int res = 0;
+        int dim = 255 * order_ + 1;
+        int scale = 1 << logRange_;
+        f2s_.resize((size_t)dim * scale);
+        u32 llr = 3;
+        while ((1u << llr) <= logRange_) llr++;
+        for (int k = 0; k < dim; k++) {
+            int alphabetSize = decodeAlphabet(ibs_, alphabet);
+            if (alphabetSize == 0) continue;
+            i32* f = freqs_.data() + ((size_t)k << 8);
+            if (alphabetSize != 256) std::memset(f, 0, 256 * sizeof(i32));
+            int chkSize = alphabetSize < 64 ? 6 : 8;
+            int sum = 0;
+            for (int i = 1; i < alphabetSize; i += chkSize) {
+                u32 logMax = (u32)ibs_.readBits(llr);
+                if (((i64)1 << logMax) > scale) throw Error("invalid ANS frequency size");
+                int endj = std::min(i + chkSize, alphabetSize);
+                for (int j = i; j < endj; j++) {
+                    int freq = 1;
+                    if (logMax > 0) {
+                        freq = 1 + (int)ibs_.readBits(logMax);
+                        if (freq <= 0 || freq >= scale) throw Error("invalid ANS frequency");
+                    }
+                    f[alphabet[j]] = freq;
+                    sum += freq;
+                }
+            }
+            if (scale <= sum) throw Error("invalid ANS frequency sum");
+            f[alphabet[0]] = scale - sum;
+            sum = 0;
+            DecSymbol* symb = symbols_.data() + ((size_t)k << 8);
+            u8* freq2sym = f2s_.data() + ((size_t)k << logRange_);
+            for (int i = 0; i < 256; i++) {
+                if (f[i] == 0) continue;
+                for (int j = f[i] - 1; j >= 0; j--) freq2sym[sum + j] = (u8)i;
+                symb[i].reset(sum, f[i], logRange_);
+                sum += f[i];
+            }
+            res += alphabetSize;
+        }
+        return res;
+    }
+
+    inline void decodeSymbol(i64& n, int& st, const DecSymbol& sym, int mask) {
+        st = sym.freq * (st >> logRange_) + (st & mask) - sym.cumFreq;
+        if (st < ANS_TOP) {
+            st = (st << 16) | ((int)buffer_[n] << 8) | buffer_[n + 1];
+            n += 2;
+        }
+    }
+
+    bool decodeChunk(u8* block, int len) {
+        u32 sz = readVarInt(ibs_);
+        if (sz >= ANS_MAX_CHUNK_SIZE) return false;
+        int st0 = (int)ibs_.readBits(32);
+        int st1 = (int)ibs_.readBits(32);
+        int st2 = (int)ibs_.readBits(32);
+        int st3 = (int)ibs_.readBits(32);
+        if (len == 0) return true;
+
+        i64 minBufSize = std::max((i64)2 * len, (i64)256);
+        if ((i64)sz > minBufSize) return false;  // corrupted stream
+        if ((i64)buffer_.size() < minBufSize + 64) buffer_.resize(minBufSize + 64);
+        ibs_.readArray(buffer_.data(), 8 * (u64)sz);
+        std::memset(buffer_.data() + sz, 0, std::min((i64)64, (i64)buffer_.size() - sz));
+
+        i64 n = 0;
+        u32 lr = logRange_;
+        int mask = (1 << lr) - 1;
+        int end4 = len & ~3;
+
+        if (order_ == 0) {
+            const u8* freq2sym = f2s_.data();
+            const DecSymbol* symb = symbols_.data();
+            for (int i = 0; i < end4; i += 4) {
+                u8 cur3 = freq2sym[st3 & mask];
+                block[i] = cur3;
+                decodeSymbol(n, st3, symb[cur3], mask);
+                u8 cur2 = freq2sym[st2 & mask];
+                block[i + 1] = cur2;
+                decodeSymbol(n, st2, symb[cur2], mask);
+                u8 cur1 = freq2sym[st1 & mask];
+                block[i + 2] = cur1;
+                decodeSymbol(n, st1, symb[cur1], mask);
+                u8 cur0 = freq2sym[st0 & mask];
+                block[i + 3] = cur0;
+                decodeSymbol(n, st0, symb[cur0], mask);
+            }
+        } else {
+            int quarter = end4 >> 2;
+            int i0 = 0, i1 = quarter, i2 = 2 * quarter, i3 = 3 * quarter;
+            int prv0 = 0, prv1 = 0, prv2 = 0, prv3 = 0;
+            while (i0 < quarter) {
+                u8 cur3 = f2s_[((size_t)prv3 << lr) + (st3 & mask)];
+                block[i3] = cur3;
+                decodeSymbol(n, st3, symbols_[(prv3 << 8) + cur3], mask);
+                u8 cur2 = f2s_[((size_t)prv2 << lr) + (st2 & mask)];
+                block[i2] = cur2;
+                decodeSymbol(n, st2, symbols_[(prv2 << 8) + cur2], mask);
+                u8 cur1 = f2s_[((size_t)prv1 << lr) + (st1 & mask)];
+                block[i1] = cur1;
+                decodeSymbol(n, st1, symbols_[(prv1 << 8) + cur1], mask);
+                u8 cur0 = f2s_[((size_t)prv0 << lr) + (st0 & mask)];
+                block[i0] = cur0;
+                decodeSymbol(n, st0, symbols_[(prv0 << 8) + cur0], mask);
+                prv3 = cur3;
+                prv2 = cur2;
+                prv1 = cur1;
+                prv0 = cur0;
+                i0++;
+                i1++;
+                i2++;
+                i3++;
+            }
+        }
+
+        for (int i = end4; i < len; i++) block[i] = buffer_[n++];
+        return true;
+    }
+
+    IBS& ibs_;
+    int order_;
+    int chunkSize_;
+    u32 logRange_;
+    std::vector<i32> freqs_;
+    std::vector<DecSymbol> symbols_;
+    std::vector<u8> f2s_;
+    std::vector<u8> buffer_;
+};
+
+void ansEncode(OBS& obs, const u8* block, i64 len, int order) {
+    ANSEncoder enc(obs, order);
+    enc.write(block, len);
+}
+
+void ansDecode(IBS& ibs, u8* block, i64 len, int order, int bsVersion) {
+    (void)bsVersion;  // v6 payloads only (v1 legacy chunk layout unsupported)
+    ANSDecoder dec(ibs, order);
+    dec.read(block, len);
+}
+
+}  // namespace kz

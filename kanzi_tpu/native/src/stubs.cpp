@@ -8,14 +8,11 @@ namespace kz {
 #define KZ_STUB(sig) \
     sig { throw Error("not implemented yet"); }
 
-KZ_STUB(void ansEncode(OBS&, const u8*, i64, int))
-KZ_STUB(void ansDecode(IBS&, u8*, i64, int, int))
-KZ_STUB(void rangeEncode(OBS&, const u8*, i64))
-KZ_STUB(void rangeDecode(IBS&, u8*, i64, int))
-KZ_STUB(void fpaqEncode(OBS&, const u8*, i64))
-KZ_STUB(void fpaqDecode(IBS&, u8*, i64, int))
-KZ_STUB(void binaryEncode(OBS&, const u8*, i64, int, const Ctx&))
-KZ_STUB(void binaryDecode(IBS&, u8*, i64, int, const Ctx&))
+class TPAQPredictor;
+TPAQPredictor* newTPAQ(const Ctx&, bool) { throw Error("TPAQ not implemented yet"); }
+void freeTPAQ(TPAQPredictor*) {}
+int tpaqGet(TPAQPredictor*) { throw Error("TPAQ not implemented yet"); }
+void tpaqUpdate(TPAQPredictor*, int) { throw Error("TPAQ not implemented yet"); }
 
 #define KZ_TSTUB(name) \
     int name(const u8*, i32, u8*, i64, Ctx&, i32*) { return -2; }
