@@ -1,0 +1,295 @@
+// Burrows-Wheeler Transform: forward (via SA-IS) and the two inverse
+// LF-mapping walks, plus the block codec that frames the primary indexes.
+//
+// Format spec: reference v2/transform/BWT.go, BWTBlockCodec.go,
+// DivSufSort.go:179-311 (ComputeBWT output layout and per-chunk primary
+// index rule: indexes[q] records the SA rank + 1 of the suffix starting at
+// q*step, step = ceil(n/chunks); 8 chunks when n >= 256).
+//
+// Output layout: dst[0] = src[n-1]; BWT rows follow with the primary row
+// (suffix 0) removed — dst[j+1] = src[SA[j]-1] for j < pIdx, dst[j] for
+// j > pIdx.
+//
+// Inverse: <= 4 MiB blocks use mergeTPSI (packed (prev<<8|byte) vector, 8
+// chunk cursors in lockstep); larger blocks use biPSIv2 (bucket/fastBits
+// structure). The 8-cursor lockstep is this domain's sequence parallelism —
+// the device kernel batches cursors across blocks.
+
+#include "kz.h"
+
+namespace kz {
+
+void suffixArray(const u8* src, i32* sa, i32 n);
+void computeHistogram(const u8* block, i64 len, i32* freqs);
+
+static constexpr i32 BWT_MAX_BLOCK_SIZE = 1024 * 1024 * 1024;
+static constexpr int BWT_NB_FASTBITS = 17;
+static constexpr i32 BWT_MASK_FASTBITS = (1 << BWT_NB_FASTBITS) - 1;
+static constexpr i32 BWT_THRESHOLD1 = 256;
+static constexpr i32 BWT_THRESHOLD2 = 4 * 1024 * 1024;
+
+static inline int bwtChunks(i32 size) { return size < BWT_THRESHOLD1 ? 1 : 8; }
+
+// indexes[8]: filled with primary indexes (SA rank + 1 of chunk starts)
+static void bwtForwardCore(const u8* src, u8* dst, i32 n, u32* indexes) {
+    if (n == 1) {
+        dst[0] = src[0];
+        indexes[0] = 1;
+        return;
+    }
+    std::vector<i32> sa(n);
+    suffixArray(src, sa.data(), n);
+
+    int idxCount = bwtChunks(n);
+    i32 step = n / idxCount;
+    if (step * idxCount != n) step++;
+
+    i32 pIdx = -1;
+    for (i32 j = 0; j < n; j++) {
+        i32 s = sa[j];
+        if (s % step == 0) indexes[s / step] = (u32)(j + 1);
+        if (s == 0) pIdx = j;
+    }
+    dst[0] = src[n - 1];
+    for (i32 j = 0; j < pIdx; j++) dst[j + 1] = src[sa[j] - 1];
+    for (i32 j = pIdx + 1; j < n; j++) dst[j] = src[sa[j] - 1];
+    indexes[0] = (u32)(pIdx + 1);
+}
+
+// mergeTPSI inverse for n <= 4 MiB (reference BWT.go:211-358)
+static void inverseMergeTPSI(const u8* src, u8* dst, i32 count, const u32* indexes) {
+    i32 pIdx = (i32)indexes[0];
+    if (pIdx <= 0 || pIdx > count) throw Error("corrupted BWT primary index");
+
+    std::vector<i32> data(std::max(count, 64));
+    i32 buckets[256];
+    {
+        i32 freqs[256];
+        computeHistogram(src, count, freqs);
+        i32 sum = 0;
+        for (int i = 0; i < 256; i++) {
+            i32 tmp = freqs[i];
+            buckets[i] = sum;
+            sum += tmp;
+        }
+    }
+    data[buckets[src[0]]] = (i32)0xFF00 | src[0];
+    buckets[src[0]]++;
+    for (i32 i = 1; i < pIdx; i++) {
+        i32 val = src[i];
+        data[buckets[val]] = ((i - 1) << 8) | val;
+        buckets[val]++;
+    }
+    for (i32 i = pIdx; i < count; i++) {
+        i32 val = src[i];
+        data[buckets[val]] = (i << 8) | val;
+        buckets[val]++;
+    }
+
+    if (bwtChunks(count) != 8) {
+        i32 t = pIdx - 1;
+        for (i32 i = 0; i < count; i++) {
+            i32 ptr = data[t];
+            dst[i] = (u8)ptr;
+            t = ptr >> 8;
+        }
+    } else {
+        i32 ckSize = count >> 3;
+        if (ckSize * 8 != count) ckSize++;
+        i32 t[8];
+        for (int c = 0; c < 8; c++) {
+            t[c] = (i32)indexes[c] - 1;
+            if (t[c] < 0 || t[c] >= count) throw Error("corrupted BWT primary index");
+        }
+        u8* d[8];
+        for (int c = 0; c < 8; c++) d[c] = dst + c * ckSize;
+        i32 end = count - ckSize * 7;  // last chunk may be shorter
+        i32 nn = 0;
+        for (; nn < end; nn++) {
+            for (int c = 0; c < 8; c++) {
+                i32 ptr = data[t[c]];
+                d[c][nn] = (u8)ptr;
+                t[c] = ptr >> 8;
+            }
+        }
+        for (; nn < ckSize; nn++) {
+            for (int c = 0; c < 7; c++) {
+                i32 ptr = data[t[c]];
+                d[c][nn] = (u8)ptr;
+                t[c] = ptr >> 8;
+            }
+        }
+    }
+}
+
+// biPSIv2 inverse for n > 4 MiB (reference BWT.go:361-628)
+static void inverseBiPSIv2(const u8* src, u8* dst, i32 count, const u32* indexes) {
+    i32 pIdx = (i32)indexes[0];
+    if (pIdx > count) throw Error("corrupted BWT primary index");
+
+    std::vector<i32> data(count + 1);
+    i32 freqs[256];
+    computeHistogram(src, count, freqs);
+    std::vector<i32> buckets(65536, 0);
+
+    for (i32 c = 0, sum = 1; c < 256; c++) {
+        i32 f = sum;
+        sum += freqs[c];
+        freqs[c] = f;
+        if (f != sum) {
+            i32* ptr = buckets.data() + (c << 8);
+            i32 hi = std::min(sum, pIdx);
+            i32 lo = std::max(f - 1, pIdx);
+            for (i32 i = f; i < hi; i++) ptr[src[i]]++;
+            for (i32 i = lo; i < sum - 1; i++) ptr[src[i]]++;
+        }
+    }
+
+    int lastc = src[0];
+    std::vector<u16> fastBits(BWT_MASK_FASTBITS + 1);
+    u32 shift = 0;
+    while ((count >> shift) > BWT_MASK_FASTBITS) shift++;
+
+    for (i32 c = 0, v = 0, sum = 1; c < 256; c++) {
+        if (c == lastc) sum++;
+        i32* ptr = buckets.data() + c;
+        for (i32 d = 0; d < 256; d++) {
+            i32 val = ptr[d << 8];
+            ptr[d << 8] = sum;
+            sum += val;
+            if (val != 0) {
+                u16 fb = (u16)((c << 8) | d);
+                i32 ve = (sum - 1) >> shift;
+                while (v <= ve) fastBits[v++] = fb;
+            }
+        }
+    }
+
+    for (i32 i = 0; i < pIdx; i++) {
+        int c = src[i];
+        i32 p = freqs[c];
+        freqs[c]++;
+        if (p < pIdx) {
+            i32 idx = (c << 8) | src[p];
+            data[buckets[idx]] = i;
+            buckets[idx]++;
+        } else if (p > pIdx) {
+            i32 idx = (c << 8) | src[p - 1];
+            data[buckets[idx]] = i;
+            buckets[idx]++;
+        }
+    }
+    for (i32 i = pIdx; i < count; i++) {
+        int c = src[i];
+        i32 p = freqs[c];
+        freqs[c]++;
+        if (p < pIdx) {
+            i32 idx = (c << 8) | src[p];
+            data[buckets[idx]] = i + 1;
+            buckets[idx]++;
+        } else if (p > pIdx) {
+            i32 idx = (c << 8) | src[p - 1];
+            data[buckets[idx]] = i + 1;
+            buckets[idx]++;
+        }
+    }
+
+    for (i32 c = 0; c < 256; c++) {
+        i32 c256 = c << 8;
+        for (i32 d = 0; d < c; d++)
+            std::swap(buckets[(d << 8) | c], buckets[c256 | d]);
+    }
+
+    int chunks = bwtChunks(count);
+    i32 ckSize = count / chunks;
+    if (ckSize * chunks != count) ckSize++;
+
+    // chunk walks (sequential host version; chunk-parallel on device/threads)
+    i32 start = 0;
+    for (int c = 0; c < chunks; c++) {
+        i32 end = std::min(start + ckSize, count - 1);
+        i32 p = (i32)indexes[c];
+        for (i32 i = start + 1; i <= end; i += 2) {
+            u32 s = fastBits[p >> shift];
+            while (buckets[s] <= p) s++;
+            dst[i - 1] = (u8)(s >> 8);
+            dst[i] = (u8)s;
+            p = data[p];
+        }
+        start = end;
+    }
+
+    dst[count - 1] = (u8)lastc;
+}
+
+// ---------------------------------------------------------------------------
+// BWTBlockCodec: header (mode byte + primary indexes) + BWT payload
+// ---------------------------------------------------------------------------
+int bwtBlockForward(const u8* src, i32 n, u8* dst, i64 cap, Ctx& ctx, i32* outLen) {
+    (void)ctx;
+    if (n > BWT_MAX_BLOCK_SIZE) return 1;
+    if ((i64)n + 33 > cap) return 1;
+
+    u32 logBlockSize = n < 2 ? 0 : log2_32((u32)n);
+    if (n & (n - 1)) logBlockSize++;
+    int pIndexSize = (int)(logBlockSize + 7) >> 3;
+    if (pIndexSize <= 0 || pIndexSize >= 5) return 1;
+    int chunks = bwtChunks(n);
+    u32 logNbChunks = log2_32((u32)chunks);
+    int headerSize = chunks * pIndexSize + 1;
+
+    u32 indexes[8] = {0};
+    bwtForwardCore(src, dst + headerSize, n, indexes);
+
+    dst[0] = (u8)((logNbChunks << 2) | (u32)(pIndexSize - 1));
+    int idx = 1;
+    for (int i = 0; i < chunks; i++) {
+        u32 primaryIndex = indexes[i] - 1;
+        for (int shift = (pIndexSize - 1) << 3; shift >= 0; shift -= 8)
+            dst[idx++] = (u8)(primaryIndex >> shift);
+    }
+    *outLen = n + headerSize;
+    return 0;
+}
+
+int bwtBlockInverse(const u8* src, i32 n, u8* dst, i64 cap, Ctx& ctx, i32* outLen) {
+    (void)ctx;
+    if (n <= 1) throw Error("BWT inverse: invalid size");
+    u8 mode = src[0];
+    u32 logNbChunks = (mode >> 2) & 0x07;
+    int pIndexSize = (mode & 0x03) + 1;
+    int chunks = 1 << logNbChunks;
+    int headerSize = chunks * pIndexSize + 1;
+    if (n < headerSize) throw Error("BWT inverse: invalid header size");
+    i32 blockSize = n - headerSize;
+    if (chunks != bwtChunks(blockSize)) throw Error("BWT inverse: invalid number of chunks");
+
+    u32 indexes[8] = {0};
+    int idx = 1;
+    for (int i = 0; i < chunks; i++) {
+        u32 primaryIndex = 0;
+        for (int shift = (pIndexSize - 1) << 3; shift >= 0; shift -= 8)
+            primaryIndex = (primaryIndex << 8) | src[idx++];
+        indexes[i] = primaryIndex + 1;
+    }
+
+    if (cap < blockSize) throw Error("BWT inverse: output buffer too small");
+    const u8* payload = src + headerSize;
+    if (blockSize == 0) {
+        *outLen = 0;
+        return 0;
+    }
+    if (blockSize == 1) {
+        dst[0] = payload[0];
+        *outLen = 1;
+        return 0;
+    }
+    if (blockSize <= BWT_THRESHOLD2)
+        inverseMergeTPSI(payload, dst, blockSize, indexes);
+    else
+        inverseBiPSIv2(payload, dst, blockSize, indexes);
+    *outLen = blockSize;
+    return 0;
+}
+
+}  // namespace kz

@@ -19,12 +19,10 @@ void tpaqUpdate(TPAQPredictor*, int) { throw Error("TPAQ not implemented yet"); 
 #define KZ_TSTUB2(name) \
     int name(const u8*, i32, u8*, i64, i32*) { return -2; }
 
-KZ_TSTUB2(zrltForward) KZ_TSTUB2(zrltInverse)
-KZ_TSTUB(rltForward) KZ_TSTUB(rltInverse)
-KZ_TSTUB2(srtForward) KZ_TSTUB2(srtInverse)
-int sbrtForward(const u8*, i32, u8*, i64, int, i32*) { return -2; }
-int sbrtInverse(const u8*, i32, u8*, i64, int, i32*) { return -2; }
-KZ_TSTUB(bwtBlockForward) KZ_TSTUB(bwtBlockInverse)
+
+
+
+
 KZ_TSTUB(bwtsForward) KZ_TSTUB(bwtsInverse)
 KZ_TSTUB(textForward) KZ_TSTUB(textInverse)
 KZ_TSTUB(utfForward) KZ_TSTUB(utfInverse)

@@ -63,6 +63,18 @@ int transformForward(int ttype, const u8* src, i32 n, u8* dst, i64 cap,
         case TT_PACK:
         case TT_DNA:
             return aliasForward(src, n, dst, cap, ctx, outLen);
+        case TT_ZRLT:
+            return zrltForward(src, n, dst, cap, outLen);
+        case TT_RLT:
+            return rltForward(src, n, dst, cap, ctx, outLen);
+        case TT_SRT:
+            return srtForward(src, n, dst, cap, outLen);
+        case TT_MTFT:
+            return sbrtForward(src, n, dst, cap, 1, outLen);
+        case TT_RANK:
+            return sbrtForward(src, n, dst, cap, 2, outLen);
+        case TT_BWT:
+            return bwtBlockForward(src, n, dst, cap, ctx, outLen);
         default:
             return -2;
     }
@@ -88,6 +100,18 @@ int transformInverse(int ttype, const u8* src, i32 n, u8* dst, i64 cap,
         case TT_PACK:
         case TT_DNA:
             return aliasInverse(src, n, dst, cap, ctx, outLen);
+        case TT_ZRLT:
+            return zrltInverse(src, n, dst, cap, outLen);
+        case TT_RLT:
+            return rltInverse(src, n, dst, cap, ctx, outLen);
+        case TT_SRT:
+            return srtInverse(src, n, dst, cap, outLen);
+        case TT_MTFT:
+            return sbrtInverse(src, n, dst, cap, 1, outLen);
+        case TT_RANK:
+            return sbrtInverse(src, n, dst, cap, 2, outLen);
+        case TT_BWT:
+            return bwtBlockInverse(src, n, dst, cap, ctx, outLen);
         default:
             return -2;
     }

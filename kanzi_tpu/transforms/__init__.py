@@ -92,35 +92,35 @@ def _new_transform(ctx: dict, ttype: int) -> Transform:
         ctx["lz"] = ttype
         return LZCodec(ctx)
     if ttype == ZRLT_TYPE:
-        from .zrlt import ZRLT
+        from .native_backed import ZRLT
         return ZRLT(ctx)
     if ttype == RLT_TYPE:
-        from .rlt import RLT
+        from .native_backed import RLT
         return RLT(ctx)
     if ttype == SRT_TYPE:
-        from .srt import SRT
+        from .native_backed import SRT
         return SRT(ctx)
     if ttype == RANK_TYPE:
-        from .sbrt import SBRT
+        from .native_backed import SBRT
         ctx["sbrt"] = SBRT_MODE_RANK
         return SBRT(ctx)
     if ttype == MTFT_TYPE:
-        from .sbrt import SBRT
+        from .native_backed import SBRT
         ctx["sbrt"] = SBRT_MODE_MTF
         return SBRT(ctx)
     if ttype == BWT_TYPE:
-        from .bwt import BWTBlockCodec
+        from .native_backed import BWTBlockCodec
         return BWTBlockCodec(ctx)
     if ttype == BWTS_TYPE:
-        from .bwts import BWTS
+        from .native_backed import BWTS
         return BWTS(ctx)
     if ttype == DICT_TYPE:
-        from .text import TextCodec
+        from .pending import TextCodec
         entropy_name = str(ctx.get("entropy", "")).upper()
         ctx["textcodec"] = 2 if entropy_name in ("NONE", "ANS0", "HUFFMAN", "RANGE") else 1
         return TextCodec(ctx)
     if ttype == UTF_TYPE:
-        from .utf import UTFCodec
+        from .pending import UTFCodec
         return UTFCodec(ctx)
     if ttype == PACK_TYPE:
         from .alias import AliasCodec
@@ -130,13 +130,13 @@ def _new_transform(ctx: dict, ttype: int) -> Transform:
         ctx["packOnlyDNA"] = True
         return AliasCodec(ctx)
     if ttype == MM_TYPE:
-        from .fsd import FSDCodec
+        from .pending import FSDCodec
         return FSDCodec(ctx)
     if ttype == EXE_TYPE:
-        from .exe import EXECodec
+        from .pending import EXECodec
         return EXECodec(ctx)
     if ttype in (ROLZ_TYPE, ROLZX_TYPE):
-        from .rolz import ROLZCodec
+        from .pending import ROLZCodec
         return ROLZCodec(ctx, extra=(ttype == ROLZX_TYPE))
     raise ValueError(f"Unknown transform type: '{ttype}'")
 

@@ -1,0 +1,93 @@
+"""Interim always-skip implementations for transforms still being ported to
+the native runtime (TEXT, UTF, MM/FSD, EXE, ROLZ).
+
+A skipped transform is format-legal: the skip bit is recorded in the block's
+skip-flags byte and decode passes through. Ratio improves as the real
+implementations land in kanzi_tpu/native/src/; round-trip correctness is
+unaffected.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .base import Transform, TransformSkip
+from .. import native
+
+
+class _NativeOrSkip(Transform):
+    """Tries the native implementation; vetoes (skip) if not available."""
+
+    ttype = -1
+
+    def max_encoded_len(self, src_len: int) -> int:
+        return src_len + 1024
+
+    def _inverse_cap(self, src_len: int) -> int:
+        block = int(self.ctx.get("blockSize", 4 * 1024 * 1024))
+        return max(block + max(512, block >> 4) + 16, src_len + 1024)
+
+    def forward(self, src: np.ndarray) -> np.ndarray:
+        try:
+            out, self.ctx = native.transform_forward(
+                self.ttype, src, self.ctx, self.max_encoded_len(len(src)))
+        except (native.NativeSkip, RuntimeError):
+            raise TransformSkip()
+        return np.frombuffer(out, dtype=np.uint8)
+
+    def inverse(self, src: np.ndarray) -> np.ndarray:
+        out = native.transform_inverse(self.ttype, src, self.ctx,
+                                       self._inverse_cap(len(src)))
+        return np.frombuffer(out, dtype=np.uint8)
+
+
+class TextCodec(_NativeOrSkip):
+    """Dictionary word replacement (reference: v2/transform/TextCodec.go)."""
+    name = "TEXT"
+    ttype = 10
+
+    def max_encoded_len(self, src_len: int) -> int:
+        # reference: srcLen + min(max(srcLen>>3, 128), 1<<14)
+        return src_len + min(max(src_len >> 3, 128), 1 << 14)
+
+
+class UTFCodec(_NativeOrSkip):
+    """UTF-8 codepoint aliasing (reference: v2/transform/UTFCodec.go)."""
+    name = "UTF"
+    ttype = 17
+
+    def max_encoded_len(self, src_len: int) -> int:
+        return src_len + 8192
+
+
+class FSDCodec(_NativeOrSkip):
+    """Fixed-step delta for multimedia (reference: v2/transform/FSDCodec.go)."""
+    name = "MM"
+    ttype = 15
+
+    def max_encoded_len(self, src_len: int) -> int:
+        return src_len + max(64, src_len >> 7)
+
+
+class EXECodec(_NativeOrSkip):
+    """x86/ARM64 branch-target rewriting (reference: v2/transform/EXECodec.go)."""
+    name = "EXE"
+    ttype = 9
+
+    def max_encoded_len(self, src_len: int) -> int:
+        return src_len + max(8, src_len // 50)
+
+
+class ROLZCodec(_NativeOrSkip):
+    """Reduced-offset LZ (reference: v2/transform/ROLZCodec.go)."""
+    name = "ROLZ"
+    ttype = 11
+
+    def __init__(self, ctx: dict, extra: bool = False):
+        super().__init__(ctx)
+        self.extra = extra
+        self.ttype = 12 if extra else 11
+
+    def max_encoded_len(self, src_len: int) -> int:
+        # reference: srcLen <= 512 ? srcLen + 64 : srcLen
+        return src_len + 64 if src_len <= 512 else src_len
