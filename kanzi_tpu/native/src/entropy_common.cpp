@@ -213,3 +213,42 @@ u8 ExpGolombDecoder::decodeByte() {
 }
 
 }  // namespace kz
+
+namespace kz {
+
+static const int INV_EXP[33] = {
+    0, 8, 22, 47, 88, 160, 283, 492,
+    848, 1451, 2459, 4117, 6766, 10819, 16608, 24127,
+    32768, 41409, 48928, 54717, 58770, 61419, 63077, 64085,
+    64688, 65044, 65253, 65376, 65448, 65489, 65514, 65528,
+    65536,
+};
+
+struct SquashStretch {
+    i32 squash[4096];
+    i32 stretch[4096];
+    SquashStretch() {
+        for (int x = -2047; x <= 2047; x++) {
+            int w = x & 127;
+            int y = (x >> 7) + 16;
+            squash[x + 2047] = (INV_EXP[y] * (128 - w) + INV_EXP[y + 1] * w) >> 11;
+        }
+        squash[4095] = 4095;
+        int pi = 0;
+        for (int x = -2047; x <= 2047; x++) {
+            int i = squash[x + 2047];
+            while (pi <= i) stretch[pi++] = x;
+        }
+        stretch[4095] = 2047;
+    }
+};
+
+static const SquashStretch& sqst() {
+    static SquashStretch t;
+    return t;
+}
+
+const i32* squashTable() { return sqst().squash; }
+const i32* stretchTable() { return sqst().stretch; }
+
+}  // namespace kz

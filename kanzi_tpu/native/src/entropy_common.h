@@ -49,3 +49,15 @@ class ExpGolombDecoder {
 };
 
 }  // namespace kz
+
+namespace kz {
+// 12-bit logistic squash/stretch tables (reference: v2/internal/Global.go:89-144)
+const i32* squashTable();   // [4096]
+const i32* stretchTable();  // [4096]
+
+static inline int kzSquash(int d) {
+    if (d >= 2048) return 4095;
+    if (d <= -2048) return 0;
+    return squashTable()[d + 2047];
+}
+}  // namespace kz

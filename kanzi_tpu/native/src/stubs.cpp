@@ -8,11 +8,6 @@ namespace kz {
 #define KZ_STUB(sig) \
     sig { throw Error("not implemented yet"); }
 
-class TPAQPredictor;
-TPAQPredictor* newTPAQ(const Ctx&, bool) { throw Error("TPAQ not implemented yet"); }
-void freeTPAQ(TPAQPredictor*) {}
-int tpaqGet(TPAQPredictor*) { throw Error("TPAQ not implemented yet"); }
-void tpaqUpdate(TPAQPredictor*, int) { throw Error("TPAQ not implemented yet"); }
 
 #define KZ_TSTUB(name) \
     int name(const u8*, i32, u8*, i64, Ctx&, i32*) { return -2; }

@@ -12,7 +12,7 @@ import pytest
 import kanzi_tpu
 
 # codecs are added here as they are implemented
-CODECS = ["NONE", "HUFFMAN", "ANS0", "ANS1", "RANGE", "FPAQ", "CM"]
+CODECS = ["NONE", "HUFFMAN", "ANS0", "ANS1", "RANGE", "FPAQ", "CM", "TPAQ", "TPAQX"]
 
 
 def _cases():

@@ -29,8 +29,7 @@ def _corpora():
     }
 
 
-# levels 8-9 need TPAQ (pending)
-IMPLEMENTED_LEVELS = list(range(8))
+IMPLEMENTED_LEVELS = list(range(10))
 
 
 @pytest.mark.parametrize("level", IMPLEMENTED_LEVELS)
