@@ -78,6 +78,10 @@ def get_lib():
         lib.kz_xxhash32.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint32]
         lib.kz_xxhash64.restype = ctypes.c_uint64
         lib.kz_xxhash64.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint64]
+        lib.kz_huffman_prepare.restype = ctypes.c_int
+        lib.kz_huffman_prepare.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -194,3 +198,27 @@ def xxhash64_native(data, seed: int) -> int:
     lib = get_lib()
     buf = _as_buf(data)
     return int(lib.kz_xxhash64(buf.ctypes.data, len(buf), seed & 0xFFFFFFFFFFFFFFFF))
+
+
+HDR_STRIDE = 1024
+
+
+def huffman_prepare(data):
+    """Per-chunk Huffman tables + encoded headers for the device pipeline.
+
+    Returns (tables (C,256) uint16, hdr (C, HDR_STRIDE) uint8,
+    hdr_bits (C,) int32, flags (C,) uint8)."""
+    lib = get_lib()
+    src = _as_buf(data)
+    n = len(src)
+    nchunks = max((n + 16383) // 16384, 1)
+    tables = np.zeros((nchunks, 256), dtype=np.uint16)
+    hdr = np.zeros((nchunks, HDR_STRIDE), dtype=np.uint8)
+    hdr_bits = np.zeros(nchunks, dtype=np.int32)
+    flags = np.zeros(nchunks, dtype=np.uint8)
+    c = lib.kz_huffman_prepare(src.ctypes.data, n, tables.ctypes.data,
+                               hdr.ctypes.data, HDR_STRIDE,
+                               hdr_bits.ctypes.data, flags.ctypes.data)
+    if c < 0:
+        raise RuntimeError("huffman prepare failed")
+    return tables[:c], hdr[:c], hdr_bits[:c], flags[:c]

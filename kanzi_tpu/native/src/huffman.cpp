@@ -416,4 +416,55 @@ void huffmanDecode(IBS& ibs, u8* block, i64 len) {
     }
 }
 
+// ---------------------------------------------------------------------------
+// Device-pipeline support: expose per-chunk code tables + encoded table
+// headers so the bulk bit-packing can run on a TPU (kanzi_tpu/ops/huffman.py)
+// while this host side provides the exact per-chunk headers.
+// ---------------------------------------------------------------------------
+
+// Per chunk of 16 KiB:
+//   flags[c]: 0 = normal (header + 4 lanes), 1 = small chunk (< 32 bytes,
+//             raw bits, no header), 2 = single-symbol (header only)
+//   tables[c*256..]: (len<<12)|code entries (0 where unused)
+//   hdr[c*hdrStride..]: header payload (alphabet + Exp-Golomb deltas),
+//   hdrBits[c]: exact bit length of that header
+// Returns the number of chunks.
+int huffmanPrepare(const u8* block, i64 len, u16* tables, u8* hdr,
+                   i64 hdrStride, i32* hdrBits, u8* flags) {
+    int chunkSize = HUF_MAX_CHUNK;
+    int c = 0;
+    i64 startChunk = 0;
+    while (startChunk < len) {
+        int sizeChunk = (int)std::min((i64)chunkSize, len - startChunk);
+        u16* codes = tables + (size_t)c * 256;
+        std::memset(codes, 0, 256 * sizeof(u16));
+        if (sizeChunk < 32) {
+            flags[c] = 1;
+            hdrBits[c] = 0;
+        } else {
+            i32 freqs[256];
+            computeHistogram(block + startChunk, sizeChunk, freqs);
+            OBS obs(hdr + (size_t)c * hdrStride, hdrStride);
+            int count = updateFrequencies(obs, freqs, codes);
+            hdrBits[c] = (i32)obs.written();
+            obs.close();
+            flags[c] = (count > 1) ? 0 : 2;
+        }
+        startChunk += sizeChunk;
+        c++;
+    }
+    return c;
+}
+
 }  // namespace kz
+
+extern "C" int kz_huffman_prepare(const uint8_t* block, int64_t len,
+                                  uint16_t* tables, uint8_t* hdr,
+                                  int64_t hdrStride, int32_t* hdrBits,
+                                  uint8_t* flags) {
+    try {
+        return kz::huffmanPrepare(block, len, tables, hdr, hdrStride, hdrBits, flags);
+    } catch (const std::exception&) {
+        return -1;
+    }
+}

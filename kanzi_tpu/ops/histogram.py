@@ -1,0 +1,36 @@
+"""Batched order-0 histograms + entropy estimation on device.
+
+Used by the block scheduler for incompressibility detection
+(ComputeFirstOrderEntropy1024 >= 973 -> copy block, reference:
+v2/io/CompressedStream.go:778-800) and by frequency-table construction.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def histograms_u8(blocks: jax.Array) -> jax.Array:
+    """blocks: (B, N) uint8 -> (B, 256) int32 counts."""
+
+    def one(block):
+        return jnp.zeros(256, jnp.int32).at[block].add(1)
+
+    return jax.vmap(one)(blocks)
+
+
+@jax.jit
+def entropy1024(histos: jax.Array, lengths: jax.Array) -> jax.Array:
+    """Order-0 entropy scaled by 1024 per block.
+
+    histos: (B, 256) int32; lengths: (B,) int32. Device-side approximation of
+    the reference's integer log (float log2 here; used only for the
+    skip-block heuristic, not for bitstream contents).
+    """
+    h = histos.astype(jnp.float32)
+    n = lengths.astype(jnp.float32)[:, None]
+    p = jnp.where(h > 0, h / jnp.maximum(n, 1.0), 1.0)
+    bits = -jnp.sum(jnp.where(h > 0, h * jnp.log2(p), 0.0), axis=1)
+    return (1024.0 * bits / jnp.maximum(n[:, 0] * 8.0, 1.0) * 8.0).astype(jnp.int32)

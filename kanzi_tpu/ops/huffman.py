@@ -1,0 +1,79 @@
+"""Device Huffman bit-packing kernel.
+
+The reference encoder packs each 16 KiB chunk as 4 independent interleaved
+sub-streams (v2/entropy/HuffmanCodec.go:435-511) — already a SIMD layout.
+Here every (chunk, lane) pair becomes one row of a batched device kernel:
+
+  gather code+length per symbol -> exclusive cumsum of lengths -> place each
+  code's bits into two 32-bit big-endian words -> scatter-add (bit-disjoint,
+  so add == or) -> packed words + exact bit counts.
+
+The packed bytes are byte-identical to the host C++ encoder's lane payloads
+(tests assert it); the host splices them into the KANZ frame with the
+per-chunk table headers built by kz_huffman_prepare.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+FRAG = 4096  # symbols per lane (16 KiB chunk / 4)
+# max lane bits = FRAG * 12; +2 words slack for the split scatter
+WORDS = (FRAG * 12 + 31) // 32 + 2
+
+
+@functools.partial(jax.jit, static_argnames=())
+def pack_lanes(syms: jax.Array, lane_len: jax.Array, table_idx: jax.Array,
+               tables: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Packs Huffman codes for a batch of lanes.
+
+    syms:      (L, FRAG) int32  symbols (padded with 0)
+    lane_len:  (L,)      int32  valid symbols per lane
+    table_idx: (L,)      int32  chunk/table index per lane
+    tables:    (C, 256)  int32  (len<<12)|code entries
+
+    Returns (words (L, nwords) uint32 big-endian bit stream, nbits (L,)
+    int32) where nwords = (frag*12+31)//32 + 2.
+    """
+    frag = syms.shape[1]
+    nwords = (frag * 12 + 31) // 32 + 2
+    ctab = tables[table_idx]                              # (L, 256)
+    codes = jnp.take_along_axis(ctab, syms, axis=1)       # (L, frag)
+    pos = jnp.arange(frag, dtype=jnp.int32)[None, :]
+    valid = pos < lane_len[:, None]
+    lens = jnp.where(valid, codes >> 12, 0).astype(jnp.int32)
+    vals = jnp.where(valid, codes & 0xFFF, 0).astype(jnp.uint32)
+
+    ends = jnp.cumsum(lens, axis=1, dtype=jnp.int32)      # inclusive
+    offs = ends - lens                                    # exclusive
+    nbits = ends[:, -1]
+
+    word1 = offs >> 5
+    b = offs & 31
+    s1 = 32 - b - lens                                    # may be negative
+    hi = jnp.where(s1 >= 0,
+                   vals << jnp.maximum(s1, 0).astype(jnp.uint32),
+                   vals >> jnp.minimum(-s1, 31).astype(jnp.uint32))
+    lo = jnp.where(s1 >= 0,
+                   jnp.uint32(0),
+                   (vals << jnp.maximum(32 + s1, 0).astype(jnp.uint32)))
+    hi = jnp.where(valid, hi, 0)
+    lo = jnp.where(valid, lo, 0)
+
+    def scatter_one(w1, hi_row, lo_row):
+        w = jnp.zeros(nwords, jnp.uint32)
+        w = w.at[w1].add(hi_row)
+        w = w.at[w1 + 1].add(lo_row)
+        return w
+
+    words = jax.vmap(scatter_one)(word1, hi, lo)
+    return words, nbits
+
+
+def words_to_bytes(words) -> bytes:
+    """Big-endian byte view of packed words (numpy, host side)."""
+    import numpy as np
+    return np.asarray(words).astype(">u4").tobytes()
