@@ -1,0 +1,70 @@
+"""Device kernel tests: byte-equality with the host engines and the
+sharded multi-chip path (virtual CPU mesh, see conftest.py)."""
+
+import os
+import random
+
+import numpy as np
+import pytest
+
+from kanzi_tpu import native
+from kanzi_tpu.entropy.huffman_device import huffman_encode_device
+
+
+def _cases():
+    rng = random.Random(4)
+    return {
+        "text": open("/root/repo/SURVEY.md", "rb").read()[:40000],
+        "random": os.urandom(20000),
+        "narrow": bytes(rng.randrange(8) for _ in range(40000)),
+        "const": b"z" * 30000,
+        "small": os.urandom(100),
+        "chunk_edge": os.urandom(16384 + 33),
+        "n31": os.urandom(31),
+    }
+
+
+def test_device_huffman_matches_host():
+    for name, data in _cases().items():
+        host, hbits = native.entropy_encode(
+            1, np.frombuffer(data, np.uint8), {"bsVersion": 6})
+        dev, dbits = huffman_encode_device(data)
+        assert dbits == hbits, f"{name}: bit count mismatch"
+        assert dev == host, f"{name}: payload mismatch"
+
+
+def test_device_histograms():
+    from kanzi_tpu.ops.histogram import histograms_u8
+    rng = np.random.default_rng(3)
+    blocks = rng.integers(0, 256, (4, 4096), dtype=np.uint8)
+    h = np.asarray(histograms_u8(blocks))
+    for i in range(4):
+        np.testing.assert_array_equal(h[i], np.bincount(blocks[i], minlength=256))
+
+
+def test_dryrun_multichip_8():
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from kanzi_tpu import parallel
+    parallel.dryrun_multichip(8)
+
+
+def test_sharded_pack_matches_single_device():
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 (virtual) devices")
+    from kanzi_tpu import parallel
+    from kanzi_tpu.ops import huffman as oh
+    rng = np.random.default_rng(5)
+    L = 8
+    syms = rng.integers(0, 256, (L, 512), dtype=np.int32)
+    lane_len = np.full(L, 512, dtype=np.int32)
+    tidx = np.zeros(L, dtype=np.int32)
+    tables = ((8 << 12) | np.arange(256, dtype=np.int32))[None, :]
+    mesh = parallel.device_mesh(4)
+    sharded = parallel.shard_pack_lanes(mesh)
+    w1, n1 = sharded(syms, lane_len, tidx, tables)
+    w2, n2 = oh.pack_lanes(syms, lane_len, tidx, tables)
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
