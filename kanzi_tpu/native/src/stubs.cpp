@@ -19,7 +19,6 @@ namespace kz {
 
 
 KZ_TSTUB(bwtsForward) KZ_TSTUB(bwtsInverse)
-KZ_TSTUB(textForward) KZ_TSTUB(textInverse)
 KZ_TSTUB(utfForward) KZ_TSTUB(utfInverse)
 KZ_TSTUB(fsdForward) KZ_TSTUB(fsdInverse)
 KZ_TSTUB(exeForward) KZ_TSTUB(exeInverse)

@@ -75,6 +75,8 @@ int transformForward(int ttype, const u8* src, i32 n, u8* dst, i64 cap,
             return sbrtForward(src, n, dst, cap, 2, outLen);
         case TT_BWT:
             return bwtBlockForward(src, n, dst, cap, ctx, outLen);
+        case TT_DICT:
+            return textForward(src, n, dst, cap, ctx, outLen);
         default:
             return -2;
     }
@@ -112,6 +114,8 @@ int transformInverse(int ttype, const u8* src, i32 n, u8* dst, i64 cap,
             return sbrtInverse(src, n, dst, cap, 2, outLen);
         case TT_BWT:
             return bwtBlockInverse(src, n, dst, cap, ctx, outLen);
+        case TT_DICT:
+            return textInverse(src, n, dst, cap, ctx, outLen);
         default:
             return -2;
     }

@@ -47,8 +47,7 @@ class TextCodec(_NativeOrSkip):
     ttype = 10
 
     def max_encoded_len(self, src_len: int) -> int:
-        # reference: srcLen + min(max(srcLen>>3, 128), 1<<14)
-        return src_len + min(max(src_len >> 3, 128), 1 << 14)
+        return src_len  # reference: v2/transform/TextCodec.go:1118-1122
 
 
 class UTFCodec(_NativeOrSkip):
