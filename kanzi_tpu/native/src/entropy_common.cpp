@@ -1,3 +1,4 @@
+#include <cmath>
 #include "entropy_common.h"
 
 namespace kz {
@@ -250,5 +251,45 @@ static const SquashStretch& sqst() {
 
 const i32* squashTable() { return sqst().squash; }
 const i32* stretchTable() { return sqst().stretch; }
+
+}  // namespace kz
+
+namespace kz {
+
+// Integer log2 tables and first-order entropy estimation
+// (reference: v2/internal/Global.go:59-214); used in transform decisions,
+// so the integer arithmetic is format-visible.
+struct Log2Table {
+    u32 log2_4096[257];
+    Log2Table() {
+        log2_4096[0] = 0;
+        for (int x = 1; x <= 256; x++)
+            log2_4096[x] = (u32)(4096.0 * std::log2((double)x) + 0.5);
+    }
+};
+
+static const Log2Table& l2t() {
+    static Log2Table t;
+    return t;
+}
+
+u32 log2Scaled1024(u32 x) {
+    if (x < 256) return (l2t().log2_4096[x] + 2) >> 2;
+    u32 log = log2_32(x);
+    if ((x & (x - 1)) == 0) return log << 10;
+    return ((log - 7) * 1024) + ((l2t().log2_4096[x >> (log - 7)] + 2) >> 2);
+}
+
+i32 firstOrderEntropy1024(i64 blockLen, const i32* histo) {
+    if (blockLen == 0) return 0;
+    u64 sum = 0;
+    u32 logLength1024 = log2Scaled1024((u32)blockLen);
+    for (int i = 0; i < 256; i++) {
+        if (histo[i] == 0) continue;
+        u32 log1024 = log2Scaled1024((u32)histo[i]);
+        sum += (((u64)histo[i] * (u64)(logLength1024 - log1024)) >> 3);
+    }
+    return (i32)(sum / (u64)blockLen);
+}
 
 }  // namespace kz

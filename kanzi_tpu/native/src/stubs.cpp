@@ -18,9 +18,6 @@ namespace kz {
 
 
 
-KZ_TSTUB(bwtsForward) KZ_TSTUB(bwtsInverse)
-KZ_TSTUB(utfForward) KZ_TSTUB(utfInverse)
-KZ_TSTUB(fsdForward) KZ_TSTUB(fsdInverse)
 KZ_TSTUB(exeForward) KZ_TSTUB(exeInverse)
 int rolzForward(const u8*, i32, u8*, i64, Ctx&, i32*, bool) { return -2; }
 int rolzInverse(const u8*, i32, u8*, i64, Ctx&, i32*, bool) { return -2; }

@@ -390,7 +390,7 @@ int textForward(const u8* src, i32 count, u8* dst, i64 cap, Ctx& ctx, i32* outLe
     if (dt != DT_UNDEFINED && dt != DT_TEXT && dt != DT_BIN) return 1;
 
     std::vector<i32> freqs0(256);
-    auto freqs1 = std::make_unique<i32[][256]>(256);
+    std::unique_ptr<i32[][256]> freqs1(new i32[256][256]);
     u8 mode = computeTextStats(src, count, freqs0.data(), freqs1.get(), !v2);
     if (mode & TC_MASK_NOT_TEXT) {
         if ((mode & TC_MASK_DT) != DT_UNDEFINED) ctx.dataType = mode & TC_MASK_DT;

@@ -77,6 +77,12 @@ int transformForward(int ttype, const u8* src, i32 n, u8* dst, i64 cap,
             return bwtBlockForward(src, n, dst, cap, ctx, outLen);
         case TT_DICT:
             return textForward(src, n, dst, cap, ctx, outLen);
+        case TT_UTF:
+            return utfForward(src, n, dst, cap, ctx, outLen);
+        case TT_MM:
+            return fsdForward(src, n, dst, cap, ctx, outLen);
+        case TT_BWTS:
+            return bwtsForward(src, n, dst, cap, ctx, outLen);
         default:
             return -2;
     }
@@ -116,6 +122,12 @@ int transformInverse(int ttype, const u8* src, i32 n, u8* dst, i64 cap,
             return bwtBlockInverse(src, n, dst, cap, ctx, outLen);
         case TT_DICT:
             return textInverse(src, n, dst, cap, ctx, outLen);
+        case TT_UTF:
+            return utfInverse(src, n, dst, cap, ctx, outLen);
+        case TT_MM:
+            return fsdInverse(src, n, dst, cap, ctx, outLen);
+        case TT_BWTS:
+            return bwtsInverse(src, n, dst, cap, ctx, outLen);
         default:
             return -2;
     }
