@@ -75,10 +75,12 @@ static void histoO1Total(const u8* block, i64 len, i32* freqs) {
 
 class ANSEncoder {
   public:
-    ANSEncoder(OBS& obs, int order)
+    // chunkSizeArg <= 0 selects the default (16 KiB; x256 for order 1)
+    ANSEncoder(OBS& obs, int order, int chunkSizeArg = 0)
         : obs_(obs), order_(order) {
-        chunkSize_ = order == 1 ? std::min(ANS0_CHUNK_SIZE << 8, ANS_MAX_CHUNK_SIZE)
-                                : ANS0_CHUNK_SIZE;
+        int cs = chunkSizeArg > 0 ? chunkSizeArg : ANS0_CHUNK_SIZE;
+        if (order == 1) cs = std::min(cs << 8, ANS_MAX_CHUNK_SIZE);
+        chunkSize_ = cs;
         logRange_ = std::max(ANS_DEFAULT_LOG_RANGE - (u32)order, 8u);
         int dim = 255 * order + 1;
         freqs_.resize((size_t)dim * 257);
@@ -241,9 +243,10 @@ class ANSEncoder {
 
 class ANSDecoder {
   public:
-    ANSDecoder(IBS& ibs, int order) : ibs_(ibs), order_(order) {
-        chunkSize_ = order == 1 ? std::min(ANS0_CHUNK_SIZE << 8, ANS_MAX_CHUNK_SIZE)
-                                : ANS0_CHUNK_SIZE;
+    ANSDecoder(IBS& ibs, int order, int chunkSizeArg = 0) : ibs_(ibs), order_(order) {
+        int cs = chunkSizeArg > 0 ? chunkSizeArg : ANS0_CHUNK_SIZE;
+        if (order == 1) cs = std::min(cs << 8, ANS_MAX_CHUNK_SIZE);
+        chunkSize_ = cs;
         logRange_ = ANS_DEFAULT_LOG_RANGE;
         int dim = 255 * order + 1;
         freqs_.resize((size_t)dim * 256);
@@ -408,6 +411,17 @@ class ANSDecoder {
 void ansEncode(OBS& obs, const u8* block, i64 len, int order) {
     ANSEncoder enc(obs, order);
     enc.write(block, len);
+}
+
+// embedded use (ROLZ nested streams)
+void ansEncodeChunked(OBS& obs, const u8* block, i64 len, int order, int chunkSize) {
+    ANSEncoder enc(obs, order, chunkSize);
+    enc.write(block, len);
+}
+
+void ansDecodeChunked(IBS& ibs, u8* block, i64 len, int order, int chunkSize) {
+    ANSDecoder dec(ibs, order, chunkSize);
+    dec.read(block, len);
 }
 
 void ansDecode(IBS& ibs, u8* block, i64 len, int order, int bsVersion) {

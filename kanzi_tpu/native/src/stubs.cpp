@@ -19,7 +19,5 @@ namespace kz {
 
 
 KZ_TSTUB(exeForward) KZ_TSTUB(exeInverse)
-int rolzForward(const u8*, i32, u8*, i64, Ctx&, i32*, bool) { return -2; }
-int rolzInverse(const u8*, i32, u8*, i64, Ctx&, i32*, bool) { return -2; }
 
 }  // namespace kz

@@ -88,5 +88,7 @@ class ROLZCodec(_NativeOrSkip):
         self.ttype = 12 if extra else 11
 
     def max_encoded_len(self, src_len: int) -> int:
-        # reference: srcLen <= 512 ? srcLen + 64 : srcLen
+        if self.extra:  # ROLZX (reference: v2/transform/ROLZCodec.go:1350-1358)
+            return src_len + 1024 if src_len <= 16384 else src_len + src_len // 32
+        # ROLZ (reference :916-922)
         return src_len + 64 if src_len <= 512 else src_len
