@@ -18,6 +18,5 @@ namespace kz {
 
 
 
-KZ_TSTUB(exeForward) KZ_TSTUB(exeInverse)
 
 }  // namespace kz

@@ -83,6 +83,8 @@ int transformForward(int ttype, const u8* src, i32 n, u8* dst, i64 cap,
             return fsdForward(src, n, dst, cap, ctx, outLen);
         case TT_BWTS:
             return bwtsForward(src, n, dst, cap, ctx, outLen);
+        case TT_EXE:
+            return exeForward(src, n, dst, cap, ctx, outLen);
         case TT_ROLZ:
             return rolzForward(src, n, dst, cap, ctx, outLen, false);
         case TT_ROLZX:
@@ -132,6 +134,8 @@ int transformInverse(int ttype, const u8* src, i32 n, u8* dst, i64 cap,
             return fsdInverse(src, n, dst, cap, ctx, outLen);
         case TT_BWTS:
             return bwtsInverse(src, n, dst, cap, ctx, outLen);
+        case TT_EXE:
+            return exeInverse(src, n, dst, cap, ctx, outLen);
         case TT_ROLZ:
             return rolzInverse(src, n, dst, cap, ctx, outLen, false);
         case TT_ROLZX:

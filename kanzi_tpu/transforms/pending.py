@@ -74,7 +74,8 @@ class EXECodec(_NativeOrSkip):
     ttype = 9
 
     def max_encoded_len(self, src_len: int) -> int:
-        return src_len + max(8, src_len // 50)
+        # reference: v2/transform/EXECodec.go:701-708
+        return src_len + 32 if src_len <= 256 else src_len + src_len // 8
 
 
 class ROLZCodec(_NativeOrSkip):
