@@ -1,0 +1,392 @@
+"""kanzi-compatible command-line application.
+
+Flags mirror the reference CLI (v2/app/Kanzi.go): -c/-d/-y modes,
+-i/-o/-b/-t/-e/-j/-v/-l/-x/-s/-f/--rm/--from/--to, block size with K/M/G
+suffixes plus 'auto', level presets 0-9, multi-file inputs with directory
+walk and size-ordered scheduling.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+from .. import (LEVEL_PRESETS, DEFAULT_BLOCK_SIZE, Reader, Writer, KanziError,
+                block_size_for_level)
+from ..core import (ERR_INVALID_PARAM, ERR_MISSING_PARAM, ERR_OPEN_FILE,
+                    ERR_OVERWRITE_FILE, ERR_CREATE_FILE, EventType)
+from .infoprinter import InfoPrinter
+
+_APP_HEADER = "kanzi_tpu 0.1.0 (C) 2026"
+
+_HELP = """Usage: kanzi_tpu [arguments]
+
+   -h, --help              display this message
+   -c, --compress          compress mode
+   -d, --decompress        decompress mode
+   -y, --info              display headers of compressed files
+   -i, --input=<file>      name of the input file/directory ('STDIN' for stdin)
+   -o, --output=<file>     name of the output file/directory ('STDOUT', 'NONE')
+   -b, --block=<size>      block size [1024..1GiB] (suffix K/M/G), or 'auto'
+   -l, --level=<0..9>      compression level preset:
+                           0 = NONE&NONE, 1 = LZX&NONE, 2 = DNA+LZ&HUFFMAN,
+                           3 = TEXT+UTF+PACK+MM+LZX&HUFFMAN,
+                           4 = TEXT+UTF+EXE+PACK+MM+ROLZ&NONE,
+                           5 = TEXT+UTF+BWT+RANK+ZRLT&ANS0,
+                           6 = TEXT+UTF+BWT+SRT+ZRLT&FPAQ,
+                           7 = LZP+TEXT+UTF+BWT+LZP&CM,
+                           8 = EXE+RLT+TEXT+UTF+DNA&TPAQ,
+                           9 = EXE+RLT+TEXT+UTF+DNA&TPAQX
+   -t, --transform=<list>  '+'-joined transforms: NONE BWT BWTS LZ LZX LZP
+                           ROLZ ROLZX RLT ZRLT MTFT RANK SRT TEXT UTF EXE
+                           MM PACK DNA
+   -e, --entropy=<name>    NONE HUFFMAN FPAQ RANGE ANS0 ANS1 CM TPAQ TPAQX
+   -j, --jobs=<n>          number of concurrent jobs [1..64] (0 = all cores)
+   -v, --verbose=<0..5>    verbosity level
+   -x, -x32, -x64          write block checksums (32 or 64 bits)
+   -s, --skip              detect and copy incompressible blocks
+   -f, --force             overwrite the output file
+   --rm                    remove the input file after successful processing
+   --from=<n>, --to=<n>    decompress only blocks in [from, to)
+   --no-file-reorder       keep command-line file order (multi-file mode)
+"""
+
+
+def _parse_block_size(s: str) -> int:
+    s = s.strip().upper()
+    if s == "AUTO":
+        return -1
+    mult = 1
+    if s.endswith("K"):
+        mult, s = 1024, s[:-1]
+    elif s.endswith("M"):
+        mult, s = 1024 * 1024, s[:-1]
+    elif s.endswith("G"):
+        mult, s = 1 << 30, s[:-1]
+    return int(s) * mult
+
+
+def _collect_files(name: str, no_dot_files: bool, no_links: bool) -> list[str]:
+    if not os.path.isdir(name):
+        return [name]
+    out = []
+    for root, dirs, files in os.walk(name, followlinks=not no_links):
+        if no_dot_files:
+            dirs[:] = [d for d in dirs if not d.startswith(".")]
+        for f in files:
+            if no_dot_files and f.startswith("."):
+                continue
+            p = os.path.join(root, f)
+            if no_links and os.path.islink(p):
+                continue
+            out.append(p)
+    return out
+
+
+class _Args:
+    mode = ""
+    input_name = ""
+    output_name = ""
+    block_size = -2  # unset
+    level = -1
+    transform = ""
+    entropy = ""
+    jobs = -1
+    verbose = 1
+    checksum = 0
+    skip = False
+    force = False
+    remove = False
+    block_from = None
+    block_to = None
+    file_reorder = True
+    no_dot_files = False
+    no_links = False
+
+
+def _parse_args(argv: list[str]) -> _Args | int:
+    a = _Args()
+    value_opts = {
+        "-i": "input", "--input": "input",
+        "-o": "output", "--output": "output",
+        "-b": "block", "--block": "block",
+        "-l": "level", "--level": "level",
+        "-t": "transform", "--transform": "transform",
+        "-e": "entropy", "--entropy": "entropy",
+        "-j": "jobs", "--jobs": "jobs",
+        "-v": "verbose", "--verbose": "verbose",
+        "--from": "from", "--to": "to",
+    }
+    i = 0
+    pending = None
+    while i < len(argv):
+        arg = argv[i].strip()
+        i += 1
+        if pending is None:
+            if arg in ("-h", "--help"):
+                return 0
+            if arg in ("-c", "--compress"):
+                a.mode = "c"
+                continue
+            if arg in ("-d", "--decompress"):
+                a.mode = "d"
+                continue
+            if arg in ("-y", "--info"):
+                a.mode = "y"
+                continue
+            if arg in ("-f", "--force"):
+                a.force = True
+                continue
+            if arg in ("-s", "--skip"):
+                a.skip = True
+                continue
+            if arg == "-x" or arg == "-x32":
+                a.checksum = 32
+                continue
+            if arg == "-x64":
+                a.checksum = 64
+                continue
+            if arg == "--rm":
+                a.remove = True
+                continue
+            if arg == "--no-file-reorder":
+                a.file_reorder = False
+                continue
+            if arg == "--no-dot-files":
+                a.no_dot_files = True
+                continue
+            if arg == "--no-links":
+                a.no_links = True
+                continue
+            key = None
+            val = None
+            if "=" in arg:
+                k, val = arg.split("=", 1)
+                key = value_opts.get(k)
+            elif arg in value_opts:
+                pending = value_opts[arg]
+                continue
+            if key is None:
+                print(f"Warning: ignoring unknown option [{arg}]", file=sys.stderr)
+                continue
+        else:
+            key, val = pending, arg
+            pending = None
+
+        try:
+            if key == "input":
+                a.input_name = val
+            elif key == "output":
+                a.output_name = val
+            elif key == "block":
+                a.block_size = _parse_block_size(val)
+            elif key == "level":
+                a.level = int(val)
+            elif key == "transform":
+                a.transform = val
+            elif key == "entropy":
+                a.entropy = val
+            elif key == "jobs":
+                a.jobs = int(val)
+            elif key == "verbose":
+                a.verbose = int(val)
+            elif key == "from":
+                a.block_from = int(val)
+            elif key == "to":
+                a.block_to = int(val)
+        except ValueError:
+            print(f"Invalid value for option {key}: {val}", file=sys.stderr)
+            return ERR_INVALID_PARAM
+    if pending is not None:
+        print(f"Warning: ignoring option [{pending}] with no value", file=sys.stderr)
+    return a
+
+
+def _compress_one(a: _Args, in_path: str, out_path: str, listener) -> int:
+    transform, entropy = a.transform or "NONE", a.entropy or "NONE"
+    if a.level >= 0:
+        if a.level > 9:
+            print(f"Invalid compression level: {a.level}", file=sys.stderr)
+            return ERR_INVALID_PARAM
+        transform, entropy = LEVEL_PRESETS[a.level]
+
+    if in_path == "STDIN":
+        data = sys.stdin.buffer.read()
+    else:
+        try:
+            with open(in_path, "rb") as f:
+                data = f.read()
+        except OSError as e:
+            print(f"Cannot open input file '{in_path}': {e}", file=sys.stderr)
+            return ERR_OPEN_FILE
+
+    block_size = a.block_size
+    if block_size == -1:  # auto: fileSize/jobs rounded (reference :522-528)
+        jobs = max(a.jobs, 1)
+        block_size = max((len(data) + jobs - 1) // jobs, 1024)
+        block_size = (block_size + 63) & ~63
+    elif block_size == -2:
+        block_size = block_size_for_level(a.level) if a.level >= 0 else DEFAULT_BLOCK_SIZE
+
+    if out_path not in ("STDOUT", "NONE") and os.path.exists(out_path) and not a.force:
+        print(f"File '{out_path}' exists, use -f to overwrite", file=sys.stderr)
+        return ERR_OVERWRITE_FILE
+
+    start = time.time()
+    import io as _io
+    sink = _io.BytesIO()
+    w = Writer(sink, transform=transform, entropy=entropy,
+               block_size=block_size, jobs=max(a.jobs, 1), checksum=a.checksum,
+               file_size=len(data))
+    if listener:
+        w.add_listener(listener)
+    w.write(data)
+    w.close()
+    blob = sink.getvalue()
+
+    if out_path == "STDOUT":
+        sys.stdout.buffer.write(blob)
+    elif out_path != "NONE":
+        try:
+            with open(out_path, "wb") as f:
+                f.write(blob)
+        except OSError as e:
+            print(f"Cannot create output file '{out_path}': {e}", file=sys.stderr)
+            return ERR_CREATE_FILE
+
+    dt = time.time() - start
+    if a.verbose >= 1:
+        ratio = len(blob) / max(len(data), 1)
+        speed = len(data) / max(dt, 1e-9) / 1024
+        print(f"Compressed {in_path}: {len(data)} => {len(blob)} bytes "
+              f"({100 * ratio:.2f}%) in {1000 * dt:.0f} ms ({speed:.0f} KiB/s)",
+              file=sys.stderr)
+    if a.remove and in_path != "STDIN":
+        os.remove(in_path)
+    return 0
+
+
+def _decompress_one(a: _Args, in_path: str, out_path: str, listener) -> int:
+    if in_path == "STDIN":
+        blob = sys.stdin.buffer.read()
+    else:
+        try:
+            with open(in_path, "rb") as f:
+                blob = f.read()
+        except OSError as e:
+            print(f"Cannot open input file '{in_path}': {e}", file=sys.stderr)
+            return ERR_OPEN_FILE
+
+    if out_path not in ("STDOUT", "NONE") and os.path.exists(out_path) and not a.force:
+        print(f"File '{out_path}' exists, use -f to overwrite", file=sys.stderr)
+        return ERR_OVERWRITE_FILE
+
+    ctx = {}
+    if a.block_from is not None:
+        ctx["from"] = a.block_from
+    if a.block_to is not None:
+        ctx["to"] = a.block_to
+
+    start = time.time()
+    r = Reader(blob, jobs=max(a.jobs, 1), ctx=ctx)
+    if listener:
+        r.add_listener(listener)
+    data = r.read_all()
+    r.close()
+    dt = time.time() - start
+
+    if out_path == "STDOUT":
+        sys.stdout.buffer.write(data)
+    elif out_path != "NONE":
+        with open(out_path, "wb") as f:
+            f.write(data)
+    if a.verbose >= 1:
+        speed = len(data) / max(dt, 1e-9) / 1024
+        print(f"Decompressed {in_path}: {len(blob)} => {len(data)} bytes "
+              f"in {1000 * dt:.0f} ms ({speed:.0f} KiB/s)", file=sys.stderr)
+    if a.remove and in_path != "STDIN":
+        os.remove(in_path)
+    return 0
+
+
+def _info_one(a: _Args, in_path: str) -> int:
+    with open(in_path, "rb") as f:
+        blob = f.read()
+    r = Reader(blob, ctx={"from": 1, "to": 1})
+    r._read_header()
+    from .. import entropy as em, transforms as tm
+    print(f"{in_path}:")
+    print(f"  bitstream version: {r.ctx.get('bsVersion')}")
+    print(f"  block size: {r.block_size}")
+    print(f"  entropy: {em.get_name(r.entropy_type)}")
+    print(f"  transforms: {tm.get_name(r.transform_type)}")
+    print(f"  block checksum: {r.checksum_bits or 'none'} ")
+    print(f"  original size: {r.outputSize if r.outputSize else 'unknown'}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    parsed = _parse_args(argv)
+    if isinstance(parsed, int):
+        if parsed == 0:
+            print(_APP_HEADER)
+            print(_HELP)
+        return parsed
+    a = parsed
+
+    if not a.mode:
+        print(_APP_HEADER)
+        print(_HELP)
+        return 0
+    if a.jobs == 0:
+        a.jobs = min(os.cpu_count() or 1, 64)
+    elif a.jobs < 0:
+        a.jobs = max((os.cpu_count() or 1) // 2, 1)
+    a.jobs = min(a.jobs, 64)
+
+    listener = InfoPrinter(a.verbose, EventType.COMPRESSION_START) \
+        if a.verbose >= 4 else None
+
+    if a.mode == "y":
+        if not a.input_name:
+            print("Missing input file name", file=sys.stderr)
+            return ERR_MISSING_PARAM
+        res = 0
+        for f in _collect_files(a.input_name, a.no_dot_files, a.no_links):
+            res = res or _info_one(a, f)
+        return res
+
+    if not a.input_name and not a.output_name:
+        a.input_name, a.output_name = "STDIN", "STDOUT"
+        a.verbose = 0
+
+    inputs = ["STDIN"] if a.input_name in ("", "STDIN") else \
+        _collect_files(a.input_name, a.no_dot_files, a.no_links)
+    if len(inputs) > 1 and a.file_reorder:
+        # sort by (directory, size desc) for balanced scheduling (ref File.go)
+        inputs.sort(key=lambda p: (os.path.dirname(p), -os.path.getsize(p)))
+
+    res = 0
+    for in_path in inputs:
+        if a.mode == "c":
+            if len(inputs) == 1:
+                out_path = a.output_name or (
+                    in_path + ".knz" if in_path != "STDIN" else "STDOUT")
+            else:
+                out_path = in_path + ".knz"
+            r = _compress_one(a, in_path, out_path, listener)
+        else:
+            if len(inputs) == 1:
+                if a.output_name:
+                    out_path = a.output_name
+                elif in_path.endswith(".knz"):
+                    out_path = in_path[:-4]
+                else:
+                    out_path = in_path + ".out" if in_path != "STDIN" else "STDOUT"
+            else:
+                out_path = in_path[:-4] if in_path.endswith(".knz") else in_path + ".out"
+            r = _decompress_one(a, in_path, out_path, listener)
+        res = res or r
+    return res

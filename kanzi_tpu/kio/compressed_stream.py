@@ -70,7 +70,8 @@ def _block_checksum(data: np.ndarray, checksum_bits: int) -> int:
 
 def compress_block_payload(data: np.ndarray, transform_type: int,
                            entropy_type: int, ctx: dict,
-                           checksum_bits: int = 0) -> tuple[bytes, int]:
+                           checksum_bits: int = 0, block_id: int = 0,
+                           listeners=()) -> tuple[bytes, int]:
     """Encode one block into its frame payload.
 
     Returns (payload_bytes, exact_bit_length). Mirrors encodingTask.encode
@@ -79,6 +80,10 @@ def compress_block_payload(data: np.ndarray, transform_type: int,
     block_length = len(data)
     mode = 0
     checksum = _block_checksum(data, checksum_bits) if checksum_bits else 0
+    hash_type = HashType(checksum_bits // 32)
+    if listeners:
+        _notify(listeners, Event(EventType.BEFORE_TRANSFORM, block_id,
+                                 block_length, checksum, hash_type, time.time()))
 
     t_type, e_type = transform_type, entropy_type
     if block_length <= SMALL_BLOCK_SIZE:
@@ -111,6 +116,9 @@ def compress_block_payload(data: np.ndarray, transform_type: int,
     out, skip_flags = seq.forward(data)
     post_len = len(out)
     ctx["size"] = post_len
+    if listeners:
+        _notify(listeners, Event(EventType.AFTER_TRANSFORM, block_id,
+                                 post_len, checksum, hash_type, time.time()))
 
     data_size = 1
     if post_len >= 256:
@@ -132,13 +140,21 @@ def compress_block_payload(data: np.ndarray, transform_type: int,
         hdr.write_bits(checksum, checksum_bits)
     hdr_bytes = hdr.getvalue()  # all header fields are whole bytes
 
+    if listeners:
+        _notify(listeners, Event(EventType.BEFORE_ENTROPY, block_id,
+                                 post_len, checksum, hash_type, time.time()))
     payload, payload_bits = entropy_mod.encode(e_type, out, ctx)
+    if listeners:
+        _notify(listeners, Event(EventType.AFTER_ENTROPY, block_id,
+                                 (payload_bits + 7) >> 3, checksum, hash_type,
+                                 time.time()))
     return hdr_bytes + payload, len(hdr_bytes) * 8 + payload_bits
 
 
 def decompress_block_payload(payload: bytes, transform_type: int,
                              entropy_type: int, ctx: dict,
-                             block_size: int, checksum_bits: int = 0) -> bytes:
+                             block_size: int, checksum_bits: int = 0,
+                             block_id: int = 0, listeners=()) -> bytes:
     """Decode one block frame payload back to its original bytes.
 
     Mirrors decodingTask.decode (reference: v2/io/CompressedStream.go:1763-2012).
@@ -165,13 +181,25 @@ def decompress_block_payload(payload: bytes, transform_type: int,
 
     ctx = dict(ctx)
     ctx["size"] = pre_len
+    hash_type = HashType(checksum_bits // 32)
+    if listeners:
+        _notify(listeners, Event(EventType.BEFORE_ENTROPY, block_id,
+                                 len(payload), checksum1, hash_type, time.time()))
     offset = br.read >> 3  # header fields are whole bytes
     buf = entropy_mod.decode(e_type, payload[offset:], pre_len, ctx)
+    if listeners:
+        _notify(listeners, Event(EventType.AFTER_ENTROPY, block_id,
+                                 pre_len, checksum1, hash_type, time.time()))
+        _notify(listeners, Event(EventType.BEFORE_TRANSFORM, block_id,
+                                 pre_len, checksum1, hash_type, time.time()))
 
     seq = transforms_mod.new_sequence(ctx, t_type)
     seq.set_skip_flags(skip_flags)
     out = seq.inverse(np.frombuffer(buf, dtype=np.uint8))
     result = out.tobytes() if isinstance(out, np.ndarray) else bytes(out)
+    if listeners:
+        _notify(listeners, Event(EventType.AFTER_TRANSFORM, block_id,
+                                 len(result), checksum1, hash_type, time.time()))
 
     if checksum_bits:
         checksum2 = _block_checksum(np.frombuffer(result, dtype=np.uint8), checksum_bits)
@@ -320,13 +348,10 @@ class Writer:
         block, block_id = args
         data = np.frombuffer(block, dtype=np.uint8)
         ctx = dict(self.ctx)
-        if self.listeners:
-            checksum = _block_checksum(data, self.checksum_bits) if self.checksum_bits else 0
-            _notify(self.listeners, Event(
-                EventType.BEFORE_TRANSFORM, block_id, len(data), checksum,
-                HashType(self.checksum_bits // 32), time.time()))
         return compress_block_payload(data, self.transform_type,
-                                      self.entropy_type, ctx, self.checksum_bits)
+                                      self.entropy_type, ctx,
+                                      self.checksum_bits, block_id,
+                                      tuple(self.listeners))
 
     def _process_batch(self, batch: bytes) -> None:
         self._write_header()
@@ -520,7 +545,8 @@ class Reader:
 
         data = decompress_block_payload(payload, self.transform_type,
                                         self.entropy_type, self.ctx,
-                                        self.block_size, self.checksum_bits)
+                                        self.block_size, self.checksum_bits,
+                                        self._block_id, tuple(self.listeners))
         if len(data) > self.block_size:
             raise KanziError(f"Block {self._block_id} incorrectly decompressed",
                              ERR_PROCESS_BLOCK)
