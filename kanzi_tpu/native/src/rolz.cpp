@@ -797,6 +797,13 @@ struct RolzC2 {
         } else if ((flags & 0x0E) == 4) {
             delta = 8;
             minMatch = ROLZ_MIN_MATCH7;
+        } else if (flags == 1) {
+            // DNA-detected input: the reference encoder emits flags=1 with
+            // minMatch=7 (v2/transform/ROLZCodec.go:1120-1123) but its v4+
+            // decoder never checks flags==1, so those streams are
+            // undecodable by the reference itself. We honor the flag so our
+            // pair round-trips.
+            minMatch = ROLZ_MIN_MATCH7;
         }
         srcIdx++;
 
