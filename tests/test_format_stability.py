@@ -1,0 +1,76 @@
+"""Format-stability regression fixtures.
+
+The KANZ bitstream is a fixed external format: the bytes produced for a
+given input and configuration must never change. These fixtures pin the
+sha256 of compressed outputs for a deterministic corpus across every level
+and a set of explicit chains; any diff means an accidental format change.
+
+Regenerate (only after an intentional, verified format fix):
+    python tests/test_format_stability.py --regen
+"""
+
+import hashlib
+import json
+import os
+import sys
+
+import numpy as np
+
+import kanzi_tpu
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden_hashes.json")
+
+
+def _corpus() -> bytes:
+    rng = np.random.default_rng(0xC0FFEE)
+    text = open("/root/repo/SURVEY.md", "rb").read()[:120000]
+    dna = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 30000)].tobytes()
+    binary = np.cumsum(rng.integers(-2, 3, 20000, dtype=np.int32)).astype("<i2").tobytes()
+    noise = rng.integers(0, 256, 15000, dtype=np.uint8).tobytes()
+    zeros = b"\x00" * 20000
+    return text + dna + binary + zeros + noise
+
+
+def _configs():
+    cfgs = {}
+    for level in range(10):
+        cfgs[f"level{level}"] = dict(level=level, block_size=65536, checksum=32)
+    cfgs["bwts_chain"] = dict(transform="BWTS+MTFT+ZRLT", entropy="ANS1",
+                              block_size=65536)
+    cfgs["range_chain"] = dict(transform="RLT+LZ", entropy="RANGE",
+                               block_size=65536)
+    cfgs["big_chain"] = dict(transform="RLT+ZRLT+MTFT+RANK+SRT+LZ+LZP+BWT",
+                             entropy="HUFFMAN", block_size=65536)
+    return cfgs
+
+
+def _compute():
+    data = _corpus()
+    out = {}
+    for name, cfg in _configs().items():
+        blob = kanzi_tpu.compress(data, **cfg)
+        assert kanzi_tpu.decompress(blob) == data, f"{name} roundtrip failed"
+        out[name] = {"sha256": hashlib.sha256(blob).hexdigest(),
+                     "size": len(blob)}
+    return out
+
+
+def test_compressed_output_stable():
+    if not os.path.exists(GOLDEN_PATH):
+        import pytest
+        pytest.skip("no golden fixture recorded yet")
+    golden = json.load(open(GOLDEN_PATH))
+    current = _compute()
+    for name, want in golden.items():
+        got = current.get(name)
+        assert got is not None, f"missing config {name}"
+        assert got == want, (
+            f"FORMAT DRIFT in {name}: {want} -> {got}. The compressed output "
+            f"changed for identical input+config; this breaks stream "
+            f"compatibility with previously written files.")
+
+
+if __name__ == "__main__":
+    if "--regen" in sys.argv:
+        json.dump(_compute(), open(GOLDEN_PATH, "w"), indent=1)
+        print(f"wrote {GOLDEN_PATH}")
