@@ -337,12 +337,25 @@ class Writer:
     def write(self, data) -> int:
         if self._closed:
             raise KanziError("Stream closed", ERR_WRITE_FILE)
-        self._pending += bytes(data)
+        mv = memoryview(data).cast("B") if not isinstance(data, memoryview) else data
         limit = self.jobs * self.block_size
-        while len(self._pending) >= limit:
-            self._process_batch(self._pending[:limit])
-            del self._pending[:limit]
-        return len(data)
+        off = 0
+        n = len(mv)
+        # top up any pending partial batch first
+        if self._pending:
+            take = min(limit - len(self._pending), n)
+            self._pending += mv[:take]
+            off = take
+            if len(self._pending) >= limit:
+                self._process_batch(self._pending)
+                self._pending = bytearray()
+        # process full batches straight from the caller's buffer (no copy)
+        while n - off >= limit:
+            self._process_batch(mv[off:off + limit])
+            off += limit
+        if off < n:
+            self._pending += mv[off:]
+        return n
 
     def _encode_one(self, args):
         block, block_id = args
@@ -353,10 +366,11 @@ class Writer:
                                       self.checksum_bits, block_id,
                                       tuple(self.listeners))
 
-    def _process_batch(self, batch: bytes) -> None:
+    def _process_batch(self, batch) -> None:
         self._write_header()
         if not batch:
             return
+        batch = memoryview(batch)
         blocks = [batch[i:i + self.block_size]
                   for i in range(0, len(batch), self.block_size)]
         args = [(b, self._block_id + i + 1) for i, b in enumerate(blocks)]
@@ -386,8 +400,8 @@ class Writer:
     def close(self) -> None:
         if self._closed:
             return
-        self._process_batch(bytes(self._pending))
-        self._pending.clear()
+        self._process_batch(self._pending)
+        self._pending = bytearray()
         # end-of-stream marker: zero-length block
         self._bw.write_bits(0, 5)
         self._bw.write_bits(0, 3)
@@ -425,6 +439,8 @@ class Reader:
         self._initialized = False
         self._eos = False
         self._block_id = 0
+        self._chunks: list = []
+        self._chunks_len = 0
         self._out = bytearray()
         self._out_pos = 0
         self.outputSize = 0
@@ -550,17 +566,29 @@ class Reader:
         if len(data) > self.block_size:
             raise KanziError(f"Block {self._block_id} incorrectly decompressed",
                              ERR_PROCESS_BLOCK)
-        self._out += data
+        self._chunks.append(data)
+        self._chunks_len += len(data)
         return True
 
     def read(self, n: int = -1) -> bytes:
         if not self._initialized:
             self._read_header()
-        while not self._eos and (n < 0 or len(self._out) - self._out_pos < n):
+        while not self._eos and (
+                n < 0 or len(self._out) - self._out_pos + self._chunks_len < n):
             if not self._read_next_block():
                 self._eos = True
+        if self._chunks:
+            if not self._out and self._out_pos == 0 and len(self._chunks) == 1:
+                self._out = bytearray(self._chunks[0])
+            else:
+                self._out += b"".join(self._chunks)
+            self._chunks = []
+            self._chunks_len = 0
         end = len(self._out) if n < 0 else min(len(self._out), self._out_pos + n)
-        res = bytes(self._out[self._out_pos:end])
+        if n < 0 and self._out_pos == 0:
+            res = bytes(self._out)
+        else:
+            res = bytes(self._out[self._out_pos:end])
         self._out_pos = end
         return res
 

@@ -14,6 +14,23 @@ import threading
 
 import numpy as np
 
+# Scratch buffers are reused across calls (grow-only, per thread): this host
+# has very slow first-touch page faults, so fresh multi-MB allocations per
+# block dominate runtime if not pooled.
+_scratch = threading.local()
+
+
+def _get_scratch(kind: str, size: int) -> np.ndarray:
+    pool = getattr(_scratch, "pool", None)
+    if pool is None:
+        pool = _scratch.pool = {}
+    buf = pool.get(kind)
+    if buf is None or len(buf) < size:
+        buf = np.empty(max(size, 1 << 16), dtype=np.uint8)
+        buf[:] = 0  # touch pages once
+        pool[kind] = buf
+    return buf
+
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "build", "libkanzi_native.so")
 _lock = threading.Lock()
@@ -130,7 +147,8 @@ def entropy_encode(etype: int, data, ctx: dict) -> tuple[bytes, int]:
     src = _as_buf(data)
     n = len(src)
     cap = max(2 * n + 65536, 1 << 16)
-    dst = np.empty(cap, dtype=np.uint8)
+    dst = _get_scratch("ee", cap)
+    cap = len(dst)
     c = make_ctx(ctx)
     bits = lib.kz_entropy_encode(etype, src.ctypes.data, n, dst.ctypes.data,
                                  cap, ctypes.byref(c))
@@ -142,7 +160,7 @@ def entropy_encode(etype: int, data, ctx: dict) -> tuple[bytes, int]:
 def entropy_decode(etype: int, payload, out_len: int, ctx: dict) -> bytes:
     lib = get_lib()
     src = _as_buf(payload)
-    dst = np.empty(max(out_len, 1), dtype=np.uint8)
+    dst = _get_scratch("ed", max(out_len, 1))
     c = make_ctx(ctx)
     res = lib.kz_entropy_decode(etype, src.ctypes.data, len(src),
                                 dst.ctypes.data, out_len, ctypes.byref(c))
@@ -159,7 +177,8 @@ def transform_forward(ttype: int, data, ctx: dict, max_encoded_len: int) -> tupl
     lib = get_lib()
     src = _as_buf(data)
     cap = max(max_encoded_len, len(src), 1024)
-    dst = np.empty(cap, dtype=np.uint8)
+    dst = _get_scratch("tf", cap)
+    cap = len(dst)
     out_len = ctypes.c_int32(0)
     c = make_ctx(ctx)
     res = lib.kz_transform_forward(ttype, src.ctypes.data, len(src),
@@ -177,7 +196,8 @@ def transform_inverse(ttype: int, data, ctx: dict, cap: int) -> bytes:
     lib = get_lib()
     src = _as_buf(data)
     cap = max(cap, len(src), 1024)
-    dst = np.empty(cap, dtype=np.uint8)
+    dst = _get_scratch("ti", cap)
+    cap = len(dst)
     out_len = ctypes.c_int32(0)
     c = make_ctx(ctx)
     res = lib.kz_transform_inverse(ttype, src.ctypes.data, len(src),

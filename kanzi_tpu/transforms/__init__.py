@@ -162,7 +162,12 @@ class Sequence:
         buf = as_u8(src)
         if len(buf) == 0:
             return buf, self.skip_flags
+        # the reference sizes every ping-pong buffer to the chain-composed
+        # max (Sequence.go:75-97); transforms see that capacity, not their
+        # own MaxEncodedLen
+        required = self.max_encoded_len(len(buf))
         for i, t in enumerate(self.transforms):
+            t.seq_required = required
             try:
                 nxt = t.forward(buf)
             except TransformSkip:

@@ -23,9 +23,10 @@ class AliasCodec(Transform):
         return src_len + 1024
 
     def forward(self, src: np.ndarray) -> np.ndarray:
+        cap = max(self.max_encoded_len(len(src)),
+                  getattr(self, "seq_required", 0))
         try:
-            out, self.ctx = native.transform_forward(
-                PACK_TYPE, src, self.ctx, self.max_encoded_len(len(src)))
+            out, self.ctx = native.transform_forward(PACK_TYPE, src, self.ctx, cap)
         except native.NativeSkip:
             raise TransformSkip()
         return np.frombuffer(out, dtype=np.uint8)

@@ -23,9 +23,10 @@ class NativeTransform(Transform):
         return max(block + max(512, block >> 4) + 16, src_len + 1024)
 
     def forward(self, src: np.ndarray) -> np.ndarray:
+        cap = max(self.max_encoded_len(len(src)),
+                  getattr(self, "seq_required", 0))
         try:
-            out, self.ctx = native.transform_forward(
-                self.ttype, src, self.ctx, self.max_encoded_len(len(src)))
+            out, self.ctx = native.transform_forward(self.ttype, src, self.ctx, cap)
         except native.NativeSkip:
             raise TransformSkip()
         return np.frombuffer(out, dtype=np.uint8)

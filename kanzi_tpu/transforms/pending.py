@@ -28,9 +28,10 @@ class _NativeOrSkip(Transform):
         return max(block + max(512, block >> 4) + 16, src_len + 1024)
 
     def forward(self, src: np.ndarray) -> np.ndarray:
+        cap = max(self.max_encoded_len(len(src)),
+                  getattr(self, "seq_required", 0))
         try:
-            out, self.ctx = native.transform_forward(
-                self.ttype, src, self.ctx, self.max_encoded_len(len(src)))
+            out, self.ctx = native.transform_forward(self.ttype, src, self.ctx, cap)
         except (native.NativeSkip, RuntimeError):
             raise TransformSkip()
         return np.frombuffer(out, dtype=np.uint8)
@@ -65,7 +66,8 @@ class FSDCodec(_NativeOrSkip):
     ttype = 15
 
     def max_encoded_len(self, src_len: int) -> int:
-        return src_len + max(64, src_len >> 7)
+        # reference: v2/transform/FSDCodec.go:122-125
+        return src_len + max(src_len >> 4, 64)
 
 
 class EXECodec(_NativeOrSkip):
