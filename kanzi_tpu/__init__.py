@@ -24,6 +24,28 @@ from __future__ import annotations
 
 import io as _io
 
+
+def _tune_allocator() -> None:
+    """Keep large allocations in the (warm) heap instead of fresh mmaps.
+
+    glibc serves blocks above M_MMAP_THRESHOLD from anonymous mmaps and
+    munmaps them on free, so every multi-MB buffer (every `bytes` of a block,
+    every numpy scratch) pays the full page-fault cost again. On hosts with
+    slow fault paths this caps the whole codec at ~200 MB/s. Raising the
+    threshold and disabling trim makes the heap grow once and stay warm.
+    """
+    try:
+        import ctypes
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 1 << 30)   # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)   # M_TRIM_THRESHOLD
+        libc.mallopt(-2, 1 << 24)   # M_TOP_PAD
+    except Exception:
+        pass  # non-glibc platform: defaults apply
+
+
+_tune_allocator()
+
 from .core import KanziError  # noqa: F401
 from .kio import Reader, Writer  # noqa: F401
 
@@ -71,13 +93,16 @@ def compress(data, level: int | None = None, transform: str | None = None,
     transform = transform or "NONE"
     entropy = entropy or "NONE"
     block_size = block_size or DEFAULT_BLOCK_SIZE
-    out = _io.BytesIO()
-    w = Writer(out, transform=transform, entropy=entropy, block_size=block_size,
+    w = Writer(None, transform=transform, entropy=entropy, block_size=block_size,
                jobs=jobs, checksum=checksum, file_size=len(data),
                headerless=headerless)
+    if w._os is None and not w._use_native:
+        w._os = _io.BytesIO()  # legacy path needs a sink
     w.write(data)
     w.close()
-    return out.getvalue()
+    if w._os is None:
+        return w.getvalue()
+    return w._os.getvalue()
 
 
 def decompress(data, jobs: int = 1, headerless: bool = False,

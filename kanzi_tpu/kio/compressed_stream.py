@@ -31,6 +31,7 @@ import numpy as np
 from .. import entropy as entropy_mod
 from .. import transforms as transforms_mod
 from .. import internal
+from .. import native
 from ..bitstream import BitReader, BitWriter
 from ..core import (BITSTREAM_TYPE, BITSTREAM_FORMAT_VERSION, COPY_BLOCK_MASK,
                     TRANSFORMS_MASK, MIN_BITSTREAM_BLOCK_SIZE,
@@ -276,6 +277,13 @@ class Writer:
         self._closed = False
         self.listeners: list = []
         self._pool = ThreadPoolExecutor(max_workers=jobs) if jobs > 1 else None
+        # native fast path: the stream lives in a pooled numpy buffer and
+        # every block is one C++ call (encode) + one C++ call (frame splice)
+        self._use_native = native.available()
+        self._stream: np.ndarray | None = None
+        self._scratch: np.ndarray | None = None
+        self._bitpos = 0        # bit position within self._stream
+        self._bits_total = 0    # bits written over the stream's lifetime
 
     # -- events ----------------------------------------------------------
     def add_listener(self, bl) -> bool:
@@ -319,6 +327,13 @@ class Writer:
         bw.write_bits(0, 15)  # padding
 
         bw.write_bits(self._header_crc(ck_size, sz_mask), 24)
+        if self._use_native:
+            hdr = bw.getvalue()  # the header is whole bytes by construction
+            self._ensure_stream(len(hdr) + 1024)
+            self._stream[:len(hdr)] = np.frombuffer(hdr, dtype=np.uint8)
+            self._bitpos = len(hdr) * 8
+            self._bits_total = self._bitpos
+            self._bw = BitWriter()  # unused on the native path
 
     def _header_crc(self, ck_size: int, sz_mask: int) -> int:
         seed = (0x01030507 * BITSTREAM_FORMAT_VERSION) & _M32
@@ -357,6 +372,19 @@ class Writer:
             self._pending += mv[off:]
         return n
 
+    def _ensure_stream(self, nbytes: int) -> None:
+        if self._stream is None or len(self._stream) < nbytes:
+            # presize from the file-size hint: one warm allocation per stream
+            hint = self.input_size + (self.input_size >> 3) + (1 << 16) \
+                if self._os is None else self.jobs * self.block_size * 2 + (1 << 16)
+            new = np.empty(max(nbytes, hint, 1 << 16,
+                               0 if self._stream is None
+                               else 2 * len(self._stream)), dtype=np.uint8)
+            if self._stream is not None:
+                used = (self._bitpos + 7) >> 3
+                new[:used] = self._stream[:used]
+            self._stream = new
+
     def _encode_one(self, args):
         block, block_id = args
         data = np.frombuffer(block, dtype=np.uint8)
@@ -366,6 +394,18 @@ class Writer:
                                       self.checksum_bits, block_id,
                                       tuple(self.listeners))
 
+    def _encode_one_native(self, block) -> int:
+        """Encode one block through the C++ one-shot path; returns bits."""
+        data = np.frombuffer(block, dtype=np.uint8)
+        cap = 2 * len(data) + 65536
+        if self._scratch is None or len(self._scratch) < cap:
+            self._scratch = np.empty(cap, dtype=np.uint8)
+        bits, _post, _flags, _cks = native.block_encode(
+            data, self.transform_type, self.entropy_type, self.ctx,
+            self.checksum_bits, bool(self.ctx.get("skipBlocks", False)),
+            self._scratch)
+        return bits
+
     def _process_batch(self, batch) -> None:
         self._write_header()
         if not batch:
@@ -373,6 +413,14 @@ class Writer:
         batch = memoryview(batch)
         blocks = [batch[i:i + self.block_size]
                   for i in range(0, len(batch), self.block_size)]
+        if self._use_native and not self.listeners:
+            # fully-native path: one encode + one splice call per block
+            for b in blocks:
+                bits = self._encode_one_native(b)
+                self._append_frame(self._scratch, bits)
+            self._block_id += len(blocks)
+            self._flush_chunks()
+            return
         args = [(b, self._block_id + i + 1) for i, b in enumerate(blocks)]
         if self._pool is not None and len(blocks) > 1:
             results = list(self._pool.map(self._encode_one, args))
@@ -382,7 +430,18 @@ class Writer:
             self._write_frame(payload, bits)
         self._block_id += len(blocks)
 
+    def _append_frame(self, payload: np.ndarray, bits: int) -> None:
+        need = ((self._bitpos + bits) >> 3) + 64
+        self._ensure_stream(need)
+        new_pos = native.frame_append(self._stream, self._bitpos, payload, bits)
+        self._bits_total += new_pos - self._bitpos
+        self._bitpos = new_pos
+
     def _write_frame(self, payload: bytes, bits: int) -> None:
+        if self._use_native:
+            self._append_frame(np.frombuffer(payload, dtype=np.uint8), bits)
+            self._flush_chunks()
+            return
         lw = 3 if bits < 8 else internal.log2_no_check(bits >> 3) + 4
         self._bw.write_bits(lw - 3, 5)
         self._bw.write_bits(bits, lw)
@@ -391,6 +450,16 @@ class Writer:
 
     def _flush_chunks(self) -> None:
         # move completed bytes out to the underlying stream
+        if self._use_native:
+            if self._os is None:
+                return  # one-shot mode: getvalue() hands out the buffer
+            nbytes = self._bitpos >> 3
+            if nbytes:
+                self._os.write(self._stream[:nbytes].tobytes())
+                # keep the trailing partial byte, restart at the front
+                self._stream[0] = self._stream[nbytes]
+                self._bitpos &= 7
+            return
         data = self._bw._chunks
         if data:
             for chunk in data:
@@ -402,17 +471,37 @@ class Writer:
             return
         self._process_batch(self._pending)
         self._pending = bytearray()
-        # end-of-stream marker: zero-length block
-        self._bw.write_bits(0, 5)
-        self._bw.write_bits(0, 3)
-        self._bw.close()
-        self._flush_chunks()
+        self._write_header()  # empty input still gets a header
+        if self._use_native:
+            self._ensure_stream((self._bitpos >> 3) + 16)
+            nbytes = native.stream_close(self._stream, self._bitpos)
+            self._bits_total += nbytes * 8 - self._bitpos
+            self._bitpos = nbytes * 8
+            if self._os is not None:
+                self._os.write(self._stream[:nbytes].tobytes())
+                self._bitpos = 0
+        else:
+            # end-of-stream marker: zero-length block
+            self._bw.write_bits(0, 5)
+            self._bw.write_bits(0, 3)
+            self._bw.close()
+            self._flush_chunks()
         self._closed = True
         if self._pool is not None:
             self._pool.shutdown(wait=False)
 
+    def getvalue(self) -> bytes:
+        """One-shot mode (output=None): the full stream after close()."""
+        if not self._closed:
+            raise KanziError("Stream not closed", ERR_WRITE_FILE)
+        if not self._use_native or self._os is not None:
+            raise KanziError("getvalue() requires output=None", ERR_WRITE_FILE)
+        return self._stream[: self._bitpos >> 3].tobytes()
+
     @property
     def written_bytes(self) -> int:
+        if self._use_native:
+            return (self._bits_total + 7) >> 3
         return (self._bw.written + 7) >> 3
 
 
@@ -428,6 +517,11 @@ class Reader:
         if hasattr(source, "read"):
             source = source.read()
         self._br = BitReader(source)
+        self._src = self._br._buf  # zero-copy u8 view of the whole stream
+        self._use_native = native.available()
+        self._fast: bool | None = None
+        self._outbuf: np.ndarray | None = None
+        self._outbuf_len = 0
         self.ctx = dict(ctx) if ctx else {}
         self.ctx.setdefault("jobs", jobs)
         self.headerless = headerless or bool(self.ctx.get("headerless", False))
@@ -539,6 +633,16 @@ class Reader:
         if cksum1 != cksum2:
             raise KanziError("Invalid bitstream: checksum mismatch", ERR_CRC_CHECK)
 
+    def _ensure_outbuf(self, nbytes: int) -> None:
+        if self._outbuf is None:
+            init = self.outputSize + 16 if self.outputSize else max(
+                4 * self.block_size, nbytes)
+            self._outbuf = np.empty(max(init, nbytes), dtype=np.uint8)
+        elif len(self._outbuf) < nbytes:
+            new = np.empty(max(nbytes, 2 * len(self._outbuf)), dtype=np.uint8)
+            new[:self._outbuf_len] = self._outbuf[:self._outbuf_len]
+            self._outbuf = new
+
     def _read_next_block(self) -> bool:
         """Read+decode the next block into the output buffer.
         Returns False at end of stream."""
@@ -549,16 +653,44 @@ class Reader:
             return False
         if bits > 1 << 34:
             raise KanziError("Invalid block size", ERR_BLOCK_SIZE)
-        payload = br.read_array(bits)
         self._block_id += 1
 
         frm = self.ctx.get("from")
         to = self.ctx.get("to")
-        if frm is not None and self._block_id < frm:
-            return True
-        if to is not None and self._block_id >= to:
+        if (frm is not None and self._block_id < frm) or \
+                (to is not None and self._block_id >= to):
+            br._pos += bits  # skipped block: advance past the payload
             return True
 
+        if self._fast is None:
+            # freeze the path on the first block so output ordering is
+            # consistent even if listeners are mutated mid-stream
+            self._fast = self._use_native and not self.listeners
+        if self._fast:
+            # fully-native path: decode straight from the stream buffer into
+            # the (single) output buffer — zero Python-side byte handling
+            pos = br._pos
+            self._ensure_outbuf(self._outbuf_len + self.block_size)
+            try:
+                n = native.block_decode(
+                    self._src, pos >> 3, pos & 7, self.transform_type,
+                    self.entropy_type, self.ctx, self.checksum_bits,
+                    self.block_size, self._outbuf, self._outbuf_len,
+                    len(self._outbuf) - self._outbuf_len)
+            except native.ChecksumMismatch:
+                raise KanziError(
+                    f"Corrupted bitstream: block {self._block_id} checksum mismatch",
+                    ERR_CRC_CHECK)
+            except RuntimeError as e:
+                raise KanziError(f"Block {self._block_id}: {e}", ERR_PROCESS_BLOCK)
+            if n > self.block_size:
+                raise KanziError(f"Block {self._block_id} incorrectly decompressed",
+                                 ERR_PROCESS_BLOCK)
+            self._outbuf_len += n
+            br._pos = pos + bits
+            return True
+
+        payload = br.read_array(bits)
         data = decompress_block_payload(payload, self.transform_type,
                                         self.entropy_type, self.ctx,
                                         self.block_size, self.checksum_bits,
@@ -574,9 +706,16 @@ class Reader:
         if not self._initialized:
             self._read_header()
         while not self._eos and (
-                n < 0 or len(self._out) - self._out_pos + self._chunks_len < n):
+                n < 0 or self._available() < n):
             if not self._read_next_block():
                 self._eos = True
+        if self._fast:
+            end = self._outbuf_len if n < 0 else min(self._outbuf_len,
+                                                     self._out_pos + n)
+            res = (b"" if self._outbuf is None
+                   else self._outbuf[self._out_pos:end].tobytes())
+            self._out_pos = end
+            return res
         if self._chunks:
             if not self._out and self._out_pos == 0 and len(self._chunks) == 1:
                 self._out = bytearray(self._chunks[0])
@@ -591,6 +730,11 @@ class Reader:
             res = bytes(self._out[self._out_pos:end])
         self._out_pos = end
         return res
+
+    def _available(self) -> int:
+        if self._fast:
+            return self._outbuf_len - self._out_pos
+        return len(self._out) - self._out_pos + self._chunks_len
 
     def read_all(self) -> bytes:
         return self.read(-1)

@@ -99,6 +99,24 @@ def get_lib():
         lib.kz_huffman_prepare.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+        lib.kz_block_encode.restype = ctypes.c_int64
+        lib.kz_block_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_uint64, ctypes.c_int,
+            ctypes.POINTER(Ctx), ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint64)]
+        lib.kz_block_decode.restype = ctypes.c_int64
+        lib.kz_block_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_uint64,
+            ctypes.c_int, ctypes.POINTER(Ctx), ctypes.c_int, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int64]
+        lib.kz_frame_append.restype = ctypes.c_int64
+        lib.kz_frame_append.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64]
+        lib.kz_stream_close.restype = ctypes.c_int64
+        lib.kz_stream_close.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
         _lib = lib
         return _lib
 
@@ -218,6 +236,74 @@ def xxhash64_native(data, seed: int) -> int:
     lib = get_lib()
     buf = _as_buf(data)
     return int(lib.kz_xxhash64(buf.ctypes.data, len(buf), seed & 0xFFFFFFFFFFFFFFFF))
+
+
+def block_encode(src: np.ndarray, chain: int, etype: int, ctx: dict,
+                 checksum_bits: int, skip_blocks: bool,
+                 dst: np.ndarray) -> tuple[int, int, int, int]:
+    """One-shot block payload encode into `dst` (pooled caller buffer).
+
+    Returns (payload_bits, post_transform_len, skip_flags, checksum).
+    Mirrors encodingTask.encode (reference: v2/io/CompressedStream.go:729-977)
+    entirely in C++ — one FFI call per block, no Python-side byte handling.
+    """
+    lib = get_lib()
+    c = make_ctx(ctx)
+    post_len = ctypes.c_int32(0)
+    skip_flags = ctypes.c_int32(0)
+    checksum = ctypes.c_uint64(0)
+    bits = lib.kz_block_encode(
+        src.ctypes.data, len(src), chain, etype, ctypes.byref(c),
+        checksum_bits, 1 if skip_blocks else 0, dst.ctypes.data, len(dst),
+        ctypes.byref(post_len), ctypes.byref(skip_flags), ctypes.byref(checksum))
+    if bits < 0:
+        raise RuntimeError(f"native block encode failed (err={bits})")
+    return int(bits), int(post_len.value), int(skip_flags.value), int(checksum.value)
+
+
+def block_decode(src: np.ndarray, byte_off: int, bit_off: int, chain: int,
+                 etype: int, ctx: dict, checksum_bits: int, block_size: int,
+                 dst: np.ndarray, dst_off: int, dst_cap: int) -> int:
+    """One-shot block frame decode into dst[dst_off:dst_off+dst_cap].
+
+    Returns the decoded length. Mirrors decodingTask.decode
+    (reference: v2/io/CompressedStream.go:1763-2012)."""
+    lib = get_lib()
+    c = make_ctx(ctx)
+    res = lib.kz_block_decode(
+        src.ctypes.data + byte_off, len(src) - byte_off, bit_off, chain,
+        etype, ctypes.byref(c), checksum_bits, block_size,
+        dst.ctypes.data + dst_off, dst_cap)
+    if res == -7:
+        raise ChecksumMismatch()
+    if res < 0:
+        raise RuntimeError(f"native block decode failed (err={res})")
+    return int(res)
+
+
+class ChecksumMismatch(Exception):
+    pass
+
+
+def frame_append(stream: np.ndarray, bitpos: int, payload: np.ndarray,
+                 bits: int) -> int:
+    """Append one frame (length prefix + payload bits) at `bitpos`;
+    returns the new bit position."""
+    lib = get_lib()
+    res = lib.kz_frame_append(stream.ctypes.data, len(stream), bitpos,
+                              payload.ctypes.data, bits)
+    if res < 0:
+        raise RuntimeError("frame append overflow")
+    return int(res)
+
+
+def stream_close(stream: np.ndarray, bitpos: int) -> int:
+    """Write the end-of-stream marker, pad, return total byte length."""
+    lib = get_lib()
+    res = lib.kz_stream_close(stream.ctypes.data, len(stream), bitpos)
+    if res < 0:
+        raise RuntimeError("stream close overflow")
+    return int(res)
 
 
 HDR_STRIDE = 1024
