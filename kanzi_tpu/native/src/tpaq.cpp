@@ -218,6 +218,19 @@ struct TPAQMixer {
     }
 };
 
+class TPAQMixer;  // fwd (defined above)
+
+struct TPAQPools {
+    std::vector<u8> big, small0, small1, buf;
+    std::vector<i32> hashes;
+    std::vector<TPAQMixer> mixers;
+};
+
+static TPAQPools& tpaqPools() {
+    static thread_local TPAQPools p;
+    return p;
+}
+
 class TPAQPredictor {
   public:
     TPAQPredictor(const Ctx& ctx, bool extra) : extra_(extra) {
@@ -251,17 +264,31 @@ class TPAQPredictor {
         hashSize <<= (2 * extraMem);
         hashSize = std::min(hashSize, 1024u * 1024 * 1024);  // v6 cap
 
-        mixers_.resize(mixersSize);
-        for (auto& m : mixers_) m.init();
+        // All large tables come from a thread-local grow-only pool: the
+        // predictor is rebuilt per block, and repeated fresh allocations of
+        // ~300 MB would pay the (very slow on this host) first-touch fault
+        // cost every block. Pooled pages are faulted once per thread; the
+        // per-block re-init below is a plain warm memset.
+        TPAQPools& pools = tpaqPools();
+        auto grow8 = [](std::vector<u8>& v, size_t n) -> u8* {
+            if (v.size() < n) v.resize(n);
+            std::memset(v.data(), 0, n);
+            return v.data();
+        };
+        if (pools.mixers.size() < mixersSize) pools.mixers.resize(mixersSize);
+        mixers_ = pools.mixers.data();
+        for (u32 i = 0; i < mixersSize; i++) mixers_[i].init();
         mixer_ = &mixers_[0];
         pr_ = 2048;
         c0_ = 1;
         bpos_ = 8;
-        bigStatesMap_.assign(statesSize, 0);
-        smallStatesMap0_.assign(1u << 16, 0);
-        smallStatesMap1_.assign(1u << 24, 0);
-        hashes_.assign(hashSize, 0);
-        buffer_.assign(bufferSize, 0);
+        bigStatesMap_ = grow8(pools.big, statesSize);
+        smallStatesMap0_ = grow8(pools.small0, 1u << 16);
+        smallStatesMap1_ = grow8(pools.small1, 1u << 24);
+        if (pools.hashes.size() < hashSize) pools.hashes.resize(hashSize);
+        hashes_ = pools.hashes.data();
+        std::memset(hashes_, 0, (size_t)hashSize * sizeof(i32));
+        buffer_ = grow8(pools.buf, bufferSize);
         statesMask_ = (i32)(statesSize - 1);
         mixersMask_ = (i32)(mixersSize - 1) & ~1;
         hashMask_ = (i32)(hashSize - 1);
@@ -416,11 +443,11 @@ class TPAQPredictor {
     i32 hash_ = 0;
     i32 statesMask_, mixersMask_, hashMask_, bufferMask_;
     std::unique_ptr<LogisticAPM> sse0_, sse1_;
-    std::vector<TPAQMixer> mixers_;
+    TPAQMixer* mixers_;
     TPAQMixer* mixer_;
-    std::vector<u8> buffer_;
-    std::vector<i32> hashes_;
-    std::vector<u8> bigStatesMap_, smallStatesMap0_, smallStatesMap1_;
+    u8* buffer_;
+    i32* hashes_;
+    u8 *bigStatesMap_, *smallStatesMap0_, *smallStatesMap1_;
     u8 *cp0_, *cp1_, *cp2_, *cp3_, *cp4_, *cp5_, *cp6_;
     i32 ctx0_ = 0, ctx1_ = 0, ctx2_ = 0, ctx3_ = 0, ctx4_ = 0, ctx5_ = 0, ctx6_ = 0;
     bool extra_;
