@@ -193,6 +193,9 @@ struct TPAQMixer {
         pr = 2048;
         skew = 0;
         for (int i = 0; i < 8; i++) w[i] = 32768;
+        for (int i = 0; i < 8; i++) p[i] = 0;  // the reference zero-inits;
+        // update() may read p[] before the mixer's first get() when the
+        // active mixer switches, so stale inputs change the bitstream
         learnRate = BEGIN_LEARN_RATE;
     }
 
