@@ -50,6 +50,9 @@ _HELP = """Usage: kanzi_tpu [arguments]
    --rm                    remove the input file after successful processing
    --from=<n>, --to=<n>    decompress only blocks in [from, to)
    --no-file-reorder       keep command-line file order (multi-file mode)
+   --no-dot-files          skip dot files
+   --no-links              skip symbolic links
+   --cpuProf=<file>        dump a CPU profile of the run to <file>
 """
 
 
@@ -67,21 +70,11 @@ def _parse_block_size(s: str) -> int:
     return int(s) * mult
 
 
+from ..internal import create_file_list as _collect_files_sorted
+
+
 def _collect_files(name: str, no_dot_files: bool, no_links: bool) -> list[str]:
-    if not os.path.isdir(name):
-        return [name]
-    out = []
-    for root, dirs, files in os.walk(name, followlinks=not no_links):
-        if no_dot_files:
-            dirs[:] = [d for d in dirs if not d.startswith(".")]
-        for f in files:
-            if no_dot_files and f.startswith("."):
-                continue
-            p = os.path.join(root, f)
-            if no_links and os.path.islink(p):
-                continue
-            out.append(p)
-    return out
+    return _collect_files_sorted(name, no_dot_files, no_links, reorder=False)
 
 
 class _Args:
@@ -103,6 +96,7 @@ class _Args:
     file_reorder = True
     no_dot_files = False
     no_links = False
+    cpu_prof = ""
 
 
 def _parse_args(argv: list[str]) -> _Args | int:
@@ -116,7 +110,7 @@ def _parse_args(argv: list[str]) -> _Args | int:
         "-e": "entropy", "--entropy": "entropy",
         "-j": "jobs", "--jobs": "jobs",
         "-v": "verbose", "--verbose": "verbose",
-        "--from": "from", "--to": "to",
+        "--from": "from", "--to": "to", "--cpuProf": "cpuProf",
     }
     i = 0
     pending = None
@@ -195,6 +189,8 @@ def _parse_args(argv: list[str]) -> _Args | int:
                 a.block_from = int(val)
             elif key == "to":
                 a.block_to = int(val)
+            elif key == "cpuProf":
+                a.cpu_prof = val
         except ValueError:
             print(f"Invalid value for option {key}: {val}", file=sys.stderr)
             return ERR_INVALID_PARAM
@@ -368,6 +364,12 @@ def main(argv: list[str] | None = None) -> int:
         # sort by (directory, size desc) for balanced scheduling (ref File.go)
         inputs.sort(key=lambda p: (os.path.dirname(p), -os.path.getsize(p)))
 
+    profiler = None
+    if a.cpu_prof:
+        import cProfile
+        profiler = cProfile.Profile()
+        profiler.enable()
+
     res = 0
     for in_path in inputs:
         if a.mode == "c":
@@ -389,4 +391,9 @@ def main(argv: list[str] | None = None) -> int:
                 out_path = in_path[:-4] if in_path.endswith(".knz") else in_path + ".out"
             r = _decompress_one(a, in_path, out_path, listener)
         res = res or r
+
+    if profiler is not None:
+        profiler.disable()
+        profiler.dump_stats(a.cpu_prof)
+        print(f"CPU profile written to {a.cpu_prof}", file=sys.stderr)
     return res

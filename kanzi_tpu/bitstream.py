@@ -109,6 +109,127 @@ class BitWriter:
         return b"".join(self._chunks) + tail
 
 
+class DebugBitWriter:
+    """Delegating writer that logs every bit-level operation — debugging aid
+    (reference: v2/bitstream/DebugOutputBitStream.go).
+
+    `out` is a text stream (e.g. sys.stderr); `hexa` switches between binary
+    and hex rendering; `mark` appends a /length marker per call.
+    """
+
+    def __init__(self, delegate, out=None, width: int = 80,
+                 hexa: bool = False, mark: bool = False):
+        import sys
+        self._d = delegate
+        self._out = out if out is not None else sys.stderr
+        self._width = max(width, 8)
+        self._hexa = hexa
+        self._mark = mark
+        self._col = 0
+
+    def _emit(self, text: str) -> None:
+        self._out.write(text)
+        self._col += len(text)
+        if self._col >= self._width:
+            self._out.write("\n")
+            self._col = 0
+        else:
+            self._out.write(" ")
+            self._col += 1
+
+    def _show(self, value: int, count: int) -> None:
+        if self._hexa:
+            s = format(value & ((1 << count) - 1), f"0{(count + 3) // 4}X")
+        else:
+            s = format(value & ((1 << count) - 1), f"0{count}b")
+        if self._mark:
+            s += f"/{count}"
+        self._emit(s)
+
+    @property
+    def written(self) -> int:
+        return self._d.written
+
+    def write_bit(self, bit: int) -> None:
+        self._show(bit & 1, 1)
+        self._d.write_bit(bit)
+
+    def write_bits(self, value: int, count: int) -> int:
+        self._show(value, count)
+        return self._d.write_bits(value, count)
+
+    def write_array(self, data, count: int) -> int:
+        buf = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) \
+            else data
+        for i in range((count + 7) >> 3):
+            self._show(int(buf[i]), min(8, count - 8 * i))
+        return self._d.write_array(data, count)
+
+    def close(self) -> None:
+        self._d.close()
+
+    def getvalue(self) -> bytes:
+        return self._d.getvalue()
+
+
+class DebugBitReader:
+    """Delegating reader that logs every bit-level operation
+    (reference: v2/bitstream/DebugInputBitStream.go)."""
+
+    def __init__(self, delegate, out=None, width: int = 80,
+                 hexa: bool = False, mark: bool = False):
+        import sys
+        self._d = delegate
+        self._out = out if out is not None else sys.stderr
+        self._width = max(width, 8)
+        self._hexa = hexa
+        self._mark = mark
+        self._col = 0
+
+    def _emit(self, text: str) -> None:
+        self._out.write(text)
+        self._col += len(text)
+        if self._col >= self._width:
+            self._out.write("\n")
+            self._col = 0
+        else:
+            self._out.write(" ")
+            self._col += 1
+
+    def _show(self, value: int, count: int) -> None:
+        if self._hexa:
+            s = format(value & ((1 << count) - 1), f"0{(count + 3) // 4}X")
+        else:
+            s = format(value & ((1 << count) - 1), f"0{count}b")
+        if self._mark:
+            s += f"/{count}"
+        self._emit(s)
+
+    @property
+    def read(self) -> int:
+        return self._d.read
+
+    def has_more(self) -> bool:
+        return self._d.has_more()
+
+    def read_bit(self) -> int:
+        bit = self._d.read_bit()
+        self._show(bit, 1)
+        return bit
+
+    def read_bits(self, count: int) -> int:
+        val = self._d.read_bits(count)
+        self._show(val, count)
+        return val
+
+    def read_array(self, count: int) -> bytes:
+        data = self._d.read_array(count)
+        buf = np.frombuffer(data, dtype=np.uint8)
+        for i in range((count + 7) >> 3):
+            self._show(int(buf[i]), min(8, count - 8 * i))
+        return data
+
+
 class BitReader:
     """Reads bits MSB-first from an in-memory byte buffer."""
 

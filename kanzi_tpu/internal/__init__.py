@@ -293,3 +293,78 @@ def is_data_multimedia(magic: int) -> bool:
 
 def is_data_executable(magic: int) -> bool:
     return magic in _EXECUTABLE_MAGICS
+
+
+class BufferStream:
+    """Closable in-memory read/write stream (reference:
+    v2/internal/BufferStream.go:24-82).
+
+    Unlike io.BytesIO, reads consume from the front of what writes appended
+    (pipe-like), and any operation after close() raises OSError — used for
+    per-task local bitstreams and by the fault-injection tests.
+    """
+
+    def __init__(self, data: bytes = b""):
+        self._buf = bytearray(data)
+        self._rpos = 0
+        self._closed = False
+
+    def write(self, b) -> int:
+        if self._closed:
+            raise OSError("stream closed")
+        self._buf += bytes(b)
+        return len(b)
+
+    def read(self, n: int = -1) -> bytes:
+        if self._closed:
+            raise OSError("stream closed")
+        end = len(self._buf) if n < 0 else min(len(self._buf), self._rpos + n)
+        res = bytes(self._buf[self._rpos:end])
+        self._rpos = end
+        return res
+
+    def __len__(self) -> int:
+        return len(self._buf) - self._rpos
+
+    def close(self) -> None:
+        self._closed = True
+
+    def getvalue(self) -> bytes:
+        return bytes(self._buf)
+
+
+_RESERVED_NAMES = {
+    "CON", "PRN", "AUX", "NUL",
+    *(f"COM{i}" for i in range(1, 10)), *(f"LPT{i}" for i in range(1, 10)),
+}
+
+
+def is_reserved_name(name: str) -> bool:
+    """Windows reserved device names (reference: v2/internal/File.go)."""
+    import os as _os
+    base = _os.path.basename(name).split(".")[0].upper()
+    return base in _RESERVED_NAMES
+
+
+def create_file_list(name: str, no_dot_files: bool = False,
+                     no_links: bool = False, reorder: bool = True) -> list[str]:
+    """Recursive walk with symlink/dot-file filters, sorted by
+    (directory, size desc) for balanced multi-file scheduling
+    (reference: v2/internal/File.go:31-220)."""
+    import os as _os
+    if not _os.path.isdir(name):
+        return [name]
+    out: list[str] = []
+    for root, dirs, files in _os.walk(name, followlinks=not no_links):
+        if no_dot_files:
+            dirs[:] = [d for d in dirs if not d.startswith(".")]
+        for f in files:
+            if no_dot_files and f.startswith("."):
+                continue
+            p = _os.path.join(root, f)
+            if no_links and _os.path.islink(p):
+                continue
+            out.append(p)
+    if reorder:
+        out.sort(key=lambda p: (_os.path.dirname(p), -_os.path.getsize(p)))
+    return out

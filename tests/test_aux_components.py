@@ -1,0 +1,91 @@
+"""Auxiliary components: debug bitstreams, BufferStream, NullOutputStream,
+file listing, CLI cpuProf (reference: v2/bitstream/Debug*.go,
+v2/internal/BufferStream.go, v2/io/NullOutputStream.go, v2/internal/File.go).
+"""
+
+import io
+import os
+
+import pytest
+
+from kanzi_tpu.bitstream import (BitReader, BitWriter, DebugBitReader,
+                                 DebugBitWriter)
+from kanzi_tpu.internal import (BufferStream, create_file_list,
+                                is_reserved_name)
+from kanzi_tpu.kio import NullOutputStream
+
+
+def test_debug_bitstream_delegates_and_logs():
+    log = io.StringIO()
+    bw = DebugBitWriter(BitWriter(), out=log, mark=True)
+    bw.write_bits(0b1011, 4)
+    bw.write_bit(1)
+    bw.write_array(b"\xA5", 8)
+    bw.close()
+    raw = bw.getvalue()
+    assert log.getvalue().count("/") == 3  # one marker per operation
+
+    log2 = io.StringIO()
+    br = DebugBitReader(BitReader(raw), out=log2, hexa=True)
+    assert br.read_bits(4) == 0b1011
+    assert br.read_bit() == 1
+    assert br.read_array(8) == b"\xA5"
+    assert br.read == 13
+    assert log2.getvalue().strip()
+
+
+def test_buffer_stream_pipe_and_close():
+    bs = BufferStream()
+    bs.write(b"hello ")
+    bs.write(b"world")
+    assert bs.read(6) == b"hello "
+    assert len(bs) == 5
+    assert bs.read() == b"world"
+    bs.close()
+    with pytest.raises(OSError):
+        bs.write(b"x")
+    with pytest.raises(OSError):
+        bs.read()
+
+
+def test_null_output_stream():
+    ns = NullOutputStream()
+    assert ns.write(b"abc") == 3
+    assert ns.written == 3
+    ns.close()
+    with pytest.raises(OSError):
+        ns.write(b"d")
+
+
+def test_reserved_names():
+    assert is_reserved_name("CON")
+    assert is_reserved_name("/tmp/foo/NUL.txt")
+    assert is_reserved_name("com1.bin")
+    assert not is_reserved_name("console")
+
+
+def test_create_file_list_ordering(tmp_path):
+    d = tmp_path / "sub"
+    d.mkdir()
+    (tmp_path / "small.txt").write_bytes(b"x")
+    (tmp_path / "big.txt").write_bytes(b"x" * 1000)
+    (tmp_path / ".hidden").write_bytes(b"x" * 10)
+    (d / "file.txt").write_bytes(b"y" * 5)
+    files = create_file_list(str(tmp_path), no_dot_files=True)
+    names = [os.path.basename(f) for f in files]
+    assert ".hidden" not in names
+    # sorted by (dir, size desc): big before small within the root dir
+    root_files = [n for n, f in zip(names, files)
+                  if os.path.dirname(f) == str(tmp_path)]
+    assert root_files == ["big.txt", "small.txt"]
+
+
+def test_cli_cpu_prof(tmp_path):
+    from kanzi_tpu.app import main
+    src = tmp_path / "in.bin"
+    src.write_bytes(b"profile me " * 1000)
+    prof = tmp_path / "prof.out"
+    rc = main(["-c", "-i", str(src), "-o", str(tmp_path / "out.knz"),
+               "-l", "1", "-f", f"--cpuProf={prof}", "-v", "0"])
+    assert rc == 0
+    assert prof.exists() and prof.stat().st_size > 0
