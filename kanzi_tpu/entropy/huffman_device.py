@@ -28,6 +28,78 @@ def _write_varint(bw: BitWriter, value: int) -> None:
     bw.write_bits(value, 8)
 
 
+class DeviceHuffmanEngine:
+    """Production device-engine entropy stage with async overlap.
+
+    dispatch() builds the lane batch on host (C++ table/header prep, numpy
+    lane reshape) and launches the TPU pack kernel without blocking; the
+    device packs lanes while the host transforms the next block. collect()
+    materializes the packed lanes and splices the payload in C++
+    (kz_huffman_assemble), byte-identical to the host encoder.
+    """
+
+    def __init__(self):
+        import jax
+        from ..ops import huffman as ops_huffman
+        self._pack = jax.jit(ops_huffman.pack_lanes)
+        self._jax = jax
+
+    def dispatch(self, post: np.ndarray):
+        """Start packing one block's lanes. Returns an opaque handle."""
+        n = len(post)
+        tables, hdr, hdr_bits, flags = native.huffman_prepare(post)
+        nchunks = len(flags)
+        nfull = n // _CHUNK
+
+        # vectorized lane build: full chunks reshape directly to (4, FRAG)
+        rows = []
+        tidx = []
+        lens = []
+        if nfull:
+            full = post[: nfull * _CHUNK].reshape(nfull, 4, _FRAG)
+            keep = flags[:nfull] == 0
+            if keep.any():
+                kept_chunks = np.nonzero(keep)[0]
+                rows.append(full[kept_chunks].reshape(-1, _FRAG))
+                tidx.append(np.repeat(kept_chunks, 4))
+                lens.append(np.full(4 * len(kept_chunks), _FRAG, np.int32))
+        if nchunks > nfull and flags[nfull] == 0:  # partial last chunk
+            start = nfull * _CHUNK
+            size = n - start
+            frag = size // 4
+            tail = np.zeros((4, _FRAG), dtype=np.uint8)
+            for j in range(4):
+                tail[j, :frag] = post[start + j * frag: start + (j + 1) * frag]
+            rows.append(tail)
+            tidx.append(np.full(4, nfull, np.int32))
+            lens.append(np.full(4, frag, np.int32))
+
+        if rows:
+            syms = np.concatenate(rows)  # u8: minimal tunnel transfer
+            lane_len = np.concatenate(lens).astype(np.int32)
+            lane_tidx = np.concatenate(tidx).astype(np.int32)
+            out = self._pack(syms, lane_len, lane_tidx, tables.astype(np.int32))
+        else:
+            out = None
+        # post must stay alive until collect(): copy is the caller's concern
+        return (post, hdr, hdr_bits, flags, out)
+
+    def collect(self, handle, dst: np.ndarray, dst_off: int) -> int:
+        """Block on the device result and splice the payload into dst."""
+        post, hdr, hdr_bits, flags, out = handle
+        if out is not None:
+            words, nbits = out
+            words = np.asarray(words)
+            nbits = np.ascontiguousarray(np.asarray(nbits, dtype=np.int32))
+            lane_bytes = np.ascontiguousarray(
+                words.astype(">u4")).reshape(words.shape[0], -1).view(np.uint8)
+        else:
+            nbits = np.zeros(0, dtype=np.int32)
+            lane_bytes = np.zeros((0, 4), dtype=np.uint8)
+        return native.huffman_assemble(post, hdr, hdr_bits, flags,
+                                       lane_bytes, nbits, dst, dst_off)
+
+
 def huffman_encode_device(buf, jit_fn=None) -> tuple[bytes, int]:
     """Encode a block with the device pipeline. Returns (payload, bits)."""
     from ..ops import huffman as ops_huffman

@@ -284,6 +284,17 @@ class Writer:
         self._scratch: np.ndarray | None = None
         self._bitpos = 0        # bit position within self._stream
         self._bits_total = 0    # bits written over the stream's lifetime
+        # opt-in TPU entropy engine (ctx useDevice): the device packs the
+        # Huffman lanes of block i while the host transforms block i+1
+        self._dev_engine = None
+        self._dev_posts: list = []
+        if (self.ctx.get("useDevice") and self._use_native
+                and self.entropy_type == entropy_mod.HUFFMAN_TYPE):
+            try:
+                from ..entropy.huffman_device import DeviceHuffmanEngine
+                self._dev_engine = DeviceHuffmanEngine()
+            except Exception:
+                self._dev_engine = None
 
     # -- events ----------------------------------------------------------
     def add_listener(self, bl) -> bool:
@@ -414,6 +425,11 @@ class Writer:
         blocks = [batch[i:i + self.block_size]
                   for i in range(0, len(batch), self.block_size)]
         if self._use_native and not self.listeners:
+            if self._dev_engine is not None:
+                self._process_batch_device(blocks)
+                self._block_id += len(blocks)
+                self._flush_chunks()
+                return
             # fully-native path: one encode + one splice call per block
             for b in blocks:
                 bits = self._encode_one_native(b)
@@ -429,6 +445,53 @@ class Writer:
         for payload, bits in results:
             self._write_frame(payload, bits)
         self._block_id += len(blocks)
+
+    def _process_batch_device(self, blocks) -> None:
+        """Heterogeneous batch: host C++ transforms + TPU Huffman lane pack.
+
+        Phase 1 dispatches the device pack per block right after its
+        transform (async), so the device packs block i while the host
+        transforms block i+1; phase 2 collects and splices frames in order
+        (the device-era analogue of the reference's processedBlockID
+        ordering, v2/io/CompressedStream.go:934-949).
+        """
+        while len(self._dev_posts) < len(blocks):
+            self._dev_posts.append(None)
+        handles = []
+        for slot, b in enumerate(blocks):
+            data = np.frombuffer(b, dtype=np.uint8)
+            cap = 2 * len(data) + 65536
+            if self._dev_posts[slot] is None or len(self._dev_posts[slot]) < cap:
+                self._dev_posts[slot] = np.empty(cap, dtype=np.uint8)
+            post_buf = self._dev_posts[slot]
+            post_len, mode, extra, flags, cks, copy = native.block_transform(
+                data, self.transform_type, self.entropy_type, self.ctx,
+                self.checksum_bits, bool(self.ctx.get("skipBlocks", False)),
+                post_buf)
+            hdr = bytearray([mode])
+            if extra:
+                hdr.append(flags)
+            ds = 1 + ((mode >> 5) & 0x03)
+            hdr += post_len.to_bytes(ds, "big")
+            if self.checksum_bits:
+                hdr += cks.to_bytes(self.checksum_bits // 8, "big")
+            post = post_buf[:post_len]
+            if copy:
+                handles.append((bytes(hdr), post, None))
+            else:
+                handles.append((bytes(hdr), post,
+                                self._dev_engine.dispatch(post)))
+        for hdr, post, handle in handles:
+            cap = len(hdr) + 2 * len(post) + 65536
+            if self._scratch is None or len(self._scratch) < cap:
+                self._scratch = np.empty(cap, dtype=np.uint8)
+            self._scratch[:len(hdr)] = np.frombuffer(hdr, dtype=np.uint8)
+            if handle is None:  # copy mode: raw payload
+                self._scratch[len(hdr):len(hdr) + len(post)] = post
+                pbits = 8 * len(post)
+            else:
+                pbits = self._dev_engine.collect(handle, self._scratch, len(hdr))
+            self._append_frame(self._scratch, 8 * len(hdr) + pbits)
 
     def _append_frame(self, payload: np.ndarray, bits: int) -> None:
         need = ((self._bitpos + bits) >> 3) + 64

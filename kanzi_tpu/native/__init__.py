@@ -110,6 +110,18 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_uint64,
             ctypes.c_int, ctypes.POINTER(Ctx), ctypes.c_int, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_int64]
+        lib.kz_block_transform.restype = ctypes.c_int64
+        lib.kz_block_transform.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_uint64, ctypes.c_int,
+            ctypes.POINTER(Ctx), ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int32)]
+        lib.kz_huffman_assemble.restype = ctypes.c_int64
+        lib.kz_huffman_assemble.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
         lib.kz_frame_append.restype = ctypes.c_int64
         lib.kz_frame_append.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
@@ -283,6 +295,47 @@ def block_decode(src: np.ndarray, byte_off: int, bit_off: int, chain: int,
 
 class ChecksumMismatch(Exception):
     pass
+
+
+def block_transform(src: np.ndarray, chain: int, etype: int, ctx: dict,
+                    checksum_bits: int, skip_blocks: bool,
+                    dst: np.ndarray):
+    """Transform stage only (entropy runs elsewhere, e.g. on the TPU).
+
+    Returns (post_len, mode, extra_skip, skip_flags, checksum, copy_mode)."""
+    lib = get_lib()
+    c = make_ctx(ctx)
+    mode = ctypes.c_int32(0)
+    extra = ctypes.c_int32(0)
+    flags = ctypes.c_int32(0)
+    cks = ctypes.c_uint64(0)
+    copy = ctypes.c_int32(0)
+    post = lib.kz_block_transform(
+        src.ctypes.data, len(src), chain, etype, ctypes.byref(c),
+        checksum_bits, 1 if skip_blocks else 0, dst.ctypes.data, len(dst),
+        ctypes.byref(mode), ctypes.byref(extra), ctypes.byref(flags),
+        ctypes.byref(cks), ctypes.byref(copy))
+    if post < 0:
+        raise RuntimeError(f"native block transform failed (err={post})")
+    return (int(post), int(mode.value), int(extra.value), int(flags.value),
+            int(cks.value), int(copy.value))
+
+
+def huffman_assemble(block: np.ndarray, hdr: np.ndarray, hdr_bits: np.ndarray,
+                     flags: np.ndarray, lane_bytes: np.ndarray,
+                     lane_bits: np.ndarray, dst: np.ndarray,
+                     dst_off: int = 0) -> int:
+    """Splice device-packed Huffman lanes into the final entropy payload
+    (byte-identical to the host encoder). Returns the payload bit length."""
+    lib = get_lib()
+    bits = lib.kz_huffman_assemble(
+        block.ctypes.data, len(block), hdr.ctypes.data, hdr.shape[1],
+        hdr_bits.ctypes.data, flags.ctypes.data,
+        lane_bytes.ctypes.data, lane_bytes.shape[1] if lane_bytes.size else 0,
+        lane_bits.ctypes.data, dst.ctypes.data + dst_off, len(dst) - dst_off)
+    if bits < 0:
+        raise RuntimeError(f"huffman assemble failed (err={bits})")
+    return int(bits)
 
 
 def frame_append(stream: np.ndarray, bitpos: int, payload: np.ndarray,

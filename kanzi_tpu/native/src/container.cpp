@@ -410,6 +410,136 @@ int64_t kz_block_decode(const uint8_t* src, int64_t srcBytes, int bitOff,
     }
 }
 
+// Transform stage only (for heterogeneous pipelines where the entropy stage
+// runs on the TPU): runs the copy-mode/skip heuristics and the transform
+// sequence, writes the post-transform bytes into `dst`, and returns metadata
+// for the block header. Returns postLen >= 0 or a negative error.
+// modeOut receives the mode byte with data-size bits and skip-flag nibble
+// (or TRANSFORMS_MASK) already applied; extraSkipOut is 1 when a separate
+// skip-flags byte must follow the mode byte.
+int64_t kz_block_transform(const uint8_t* src, int32_t n, uint64_t chain,
+                           int etype, Ctx* ctxIn, int checksumBits,
+                           int skipBlocks, uint8_t* dst, int64_t cap,
+                           int32_t* modeOut, int32_t* extraSkipOut,
+                           int32_t* skipFlagsOut, uint64_t* checksumOut,
+                           int32_t* copyModeOut) {
+    try {
+        Ctx ctx = *ctxIn;
+        ctx.size = n;
+        ctx.entropyType = etype;
+
+        u64 checksum = 0;
+        if (checksumBits == 32)
+            checksum = xxhash32(src, n, STREAM_TYPE);
+        else if (checksumBits == 64)
+            checksum = xxhash64(src, n, STREAM_TYPE);
+        if (checksumOut) *checksumOut = checksum;
+
+        u32 mode = 0;
+        u64 tType = chain;
+        if (n <= SMALL_BLOCK_SIZE) {
+            tType = 0;
+            mode |= COPY_BLOCK_MASK;
+        } else if (skipBlocks) {
+            bool skip = false;
+            if (n >= 8) skip = isDataCompressedMagic(getMagicType(src, n));
+            if (!skip) {
+                i32 histo[256];
+                computeHistogram(src, n, histo);
+                skip = firstOrderEntropy1024(n, histo) >= INCOMPRESSIBLE;
+            }
+            if (skip) {
+                tType = 0;
+                mode |= COPY_BLOCK_MASK;
+            }
+        }
+        if (copyModeOut) *copyModeOut = (mode & COPY_BLOCK_MASK) ? 1 : 0;
+
+        int ids[8];
+        int nbtr = parseChain(tType, ids);
+        constructChain(ids, nbtr, etype, ctx);
+
+        if (n >= 4) {
+            int magic = getMagicType(src, n);
+            if (isDataCompressedMagic(magic)) ctx.dataType = DT_BIN;
+            else if (isDataMultimediaMagic(magic)) ctx.dataType = DT_MULTIMEDIA;
+            else if (isDataExecutableMagic(magic)) ctx.dataType = DT_EXE;
+        }
+
+        i32 postLen = 0;
+        u8 skipFlags = 0xFF;
+        const u8* post = sequenceForward(ids, nbtr, src, n, ctx, &postLen, &skipFlags);
+        if (postLen > cap) return -9;
+        if (post != dst) std::memcpy(dst, post, postLen);
+        if (skipFlagsOut) *skipFlagsOut = skipFlags;
+        ctxIn->dataType = ctx.dataType;
+
+        int dataSize = 1;
+        if (postLen >= 256) {
+            dataSize = (int)(log2_32((u32)postLen) >> 3) + 1;
+            if (dataSize > 4) return -5;
+        }
+        mode |= (u32)((dataSize - 1) & 0x03) << 5;
+        int extraSkip = 0;
+        if ((mode & COPY_BLOCK_MASK) != 0 || nbtr <= 4) {
+            mode |= (u32)(skipFlags >> 4);
+        } else {
+            mode |= TRANSFORMS_MASK;
+            extraSkip = 1;
+        }
+        if (modeOut) *modeOut = (i32)mode;
+        if (extraSkipOut) *extraSkipOut = extraSkip;
+        return postLen;
+    } catch (const std::exception&) {
+        return -1;
+    }
+}
+
+// Splice the device-packed Huffman lanes into the final entropy payload —
+// byte-identical to huffmanEncode's own output (v2/entropy/HuffmanCodec.go
+// 4-interleaved-stream chunk layout: per-chunk header, 4 varint lane sizes,
+// 4 lane bit-streams, raw tail bytes). Lane rows (4 per flag==0 chunk, in
+// chunk order) come from ops.huffman.pack_lanes as big-endian byte rows.
+// Returns total payload bits or a negative error.
+int64_t kz_huffman_assemble(const uint8_t* block, int64_t len,
+                            const uint8_t* hdr, int64_t hdrStride,
+                            const int32_t* hdrBits, const uint8_t* flags,
+                            const uint8_t* laneBytes, int64_t laneStride,
+                            const int32_t* laneBits,
+                            uint8_t* dst, int64_t cap) {
+    try {
+        constexpr i64 CHUNK = 16384;
+        OBS obs(dst, cap);
+        i64 nchunks = (len + CHUNK - 1) / CHUNK;
+        if (nchunks < 1) nchunks = 1;
+        i64 lane = 0;
+        for (i64 c = 0; c < nchunks; c++) {
+            i64 start = c * CHUNK;
+            i64 size = std::min(CHUNK, len - start);
+            if (flags[c] == 1) {  // small chunk: raw bytes
+                obs.writeArray(block + start, 8 * (u64)size);
+                continue;
+            }
+            obs.writeArray(hdr + c * hdrStride, (u64)hdrBits[c]);
+            if (flags[c] == 2) continue;  // single symbol: header only
+            for (int j = 0; j < 4; j++)
+                writeVarInt(obs, (u32)laneBits[lane + j]);
+            for (int j = 0; j < 4; j++)
+                obs.writeArray(laneBytes + (lane + j) * laneStride,
+                               (u64)laneBits[lane + j]);
+            i64 szFrag = size / 4;
+            for (i64 i = start + 4 * szFrag; i < start + size; i++)
+                obs.writeBits(block[i], 8);
+            lane += 4;
+        }
+        u64 bits = obs.written();
+        obs.close();
+        return (int64_t)bits;
+    } catch (const std::exception&) {
+        return -1;
+    }
+}
+
 // Append a block frame (5-bit lw-3, lw-bit payload bit count, payload bits)
 // to `stream` at bit position `bitpos`. Returns the new bit position or a
 // negative error. The splice is the C++ analogue of the reference's ordered

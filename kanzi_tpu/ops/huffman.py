@@ -30,7 +30,9 @@ def pack_lanes(syms: jax.Array, lane_len: jax.Array, table_idx: jax.Array,
                tables: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Packs Huffman codes for a batch of lanes.
 
-    syms:      (L, FRAG) int32  symbols (padded with 0)
+    syms:      (L, FRAG) uint8/int32  symbols (padded with 0); uint8 is
+               preferred — it quarters the host->device transfer, which
+               dominates when the chip sits behind a network tunnel
     lane_len:  (L,)      int32  valid symbols per lane
     table_idx: (L,)      int32  chunk/table index per lane
     tables:    (C, 256)  int32  (len<<12)|code entries
@@ -39,6 +41,7 @@ def pack_lanes(syms: jax.Array, lane_len: jax.Array, table_idx: jax.Array,
     int32) where nwords = (frag*12+31)//32 + 2.
     """
     frag = syms.shape[1]
+    syms = syms.astype(jnp.int32)
     nwords = (frag * 12 + 31) // 32 + 2
     ctab = tables[table_idx]                              # (L, 256)
     codes = jnp.take_along_axis(ctab, syms, axis=1)       # (L, frag)
