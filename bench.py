@@ -8,9 +8,15 @@ Headline metric: level-1 encode throughput (GB/s) on a deterministic
 silesia-like mixed corpus, single chip + host. vs_baseline compares against
 the reference's published level-1 encode on its 16-core desktop
 (211,957,760 bytes / 173 ms = 1.225 GB/s, reference README.md:66 /
-BASELINE.md) — the machine-level number the README reports.
+BASELINE.md) — the machine-level number the README reports. This host
+exposes ONE CPU core (the reference machine has 16), so vs_baseline
+under-reports per-core efficiency by design; the per-level matrix and the
+per-core comparison go to stderr.
 
-Extra detail (levels matrix, device-kernel throughput) goes to stderr.
+Extra detail on stderr: encode+decode GB/s and ratio for every level 0-9,
+the reference's per-core-equivalent throughput, and the device Huffman pack
+kernel throughput (compute only, and with result readback through the
+tunnel).
 """
 
 from __future__ import annotations
@@ -22,6 +28,13 @@ import time
 import numpy as np
 
 BASELINE_L1_ENCODE_GBPS = 211_957_760 / 0.173 / 1e9  # reference machine
+REFERENCE_CORES = 16
+
+# reference silesia.tar numbers (ms for 211,957,760 bytes), README.md:66-87
+REF_MS = {1: (173, 75), 2: (137, 88), 3: (230, 112), 4: (448, 185),
+          5: (940, 398), 6: (1255, 973), 7: (1714, 1227),
+          8: (8362, 7943), 9: (17944, 17512)}
+REF_BYTES = 211_957_760
 
 
 def synth_corpus(size: int = 64 << 20) -> bytes:
@@ -32,9 +45,15 @@ def synth_corpus(size: int = 64 << 20) -> bytes:
         text = open("/root/repo/SURVEY.md", "rb").read()
     except OSError:
         text = b"the quick brown fox jumps over the lazy dog. " * 1024
-    # ~45% text-like
-    while sum(map(len, parts)) < int(size * 0.45):
-        parts.append(text)
+    # ~45% text-like: repeated document with per-copy perturbations so the
+    # mix is compressible but not degenerate
+    tpart = []
+    while sum(map(len, tpart)) < int(size * 0.45):
+        arr = np.frombuffer(text, dtype=np.uint8).copy()
+        idx = rng.integers(0, len(arr), len(arr) // 64)
+        arr[idx] = rng.integers(32, 127, len(idx), dtype=np.uint8)
+        tpart.append(arr.tobytes())
+    parts.append(b"".join(tpart))
     # ~20% structured binary (correlated int32 deltas)
     n = int(size * 0.20) // 4
     vals = np.cumsum(rng.integers(-3, 4, n, dtype=np.int32)).astype("<i4")
@@ -51,7 +70,12 @@ def synth_corpus(size: int = 64 << 20) -> bytes:
     # ~15% incompressible
     parts.append(rng.integers(0, 256, int(size * 0.15), dtype=np.uint8).tobytes())
     blob = b"".join(parts)[:size]
-    return blob
+    # interleave the segments in 1 MiB strides so every block sees the mix
+    arr = np.frombuffer(blob, dtype=np.uint8)
+    m = (len(arr) >> 20) << 20
+    strided = arr[:m].reshape(-1, 1 << 20)
+    order = rng.permutation(len(strided))
+    return strided[order].tobytes() + arr[m:].tobytes()
 
 
 def bench_level(data: bytes, level: int, repeat: int = 1):
@@ -73,49 +97,73 @@ def bench_level(data: bytes, level: int, repeat: int = 1):
 
 
 def bench_device_kernel():
-    """Device Huffman pack throughput (bytes of symbols packed per second)."""
+    """Device Huffman pack throughput.
+
+    Returns (compute-only bytes/s, with-readback bytes/s, device name).
+    Compute-only reflects co-located deployments where results stream onward
+    on-device; with-readback is what this tunnel environment pays."""
     try:
         import jax
         from kanzi_tpu.ops import huffman as oh
         rng = np.random.default_rng(1)
         L = 512  # 512 lanes = 2 MiB of symbols per invocation
-        syms = rng.integers(0, 256, (L, oh.FRAG), dtype=np.int32)
+        syms = rng.integers(0, 256, (L, oh.FRAG), dtype=np.uint8)
         lane_len = np.full(L, oh.FRAG, dtype=np.int32)
         tidx = np.zeros(L, dtype=np.int32)
         tables = ((8 << 12) | np.arange(256, dtype=np.int32))[None, :]
         fn = jax.jit(oh.pack_lanes)
         out = fn(syms, lane_len, tidx, tables)
         jax.block_until_ready(out)  # compile
+        iters = 4
         t = time.perf_counter()
-        iters = 8
         for _ in range(iters):
             out = fn(syms, lane_len, tidx, tables)
         jax.block_until_ready(out)
-        dt = time.perf_counter() - t
-        return iters * L * oh.FRAG / dt, str(jax.devices()[0])
+        compute = iters * L * oh.FRAG / (time.perf_counter() - t)
+        t = time.perf_counter()
+        out = fn(syms, lane_len, tidx, tables)
+        _ = (np.asarray(out[0]), np.asarray(out[1]))
+        readback = L * oh.FRAG / (time.perf_counter() - t)
+        return compute, readback, str(jax.devices()[0])
     except Exception as e:  # pragma: no cover
-        return 0.0, f"unavailable: {e}"
+        return 0.0, 0.0, f"unavailable: {e}"
 
 
 def main():
     data = synth_corpus()
-    detail = {}
+    detail = {"levels": {}}
 
     enc1, dec1, sz1 = bench_level(data, 1, repeat=2)
-    detail["level1"] = {"enc_gbps": enc1 / 1e9, "dec_gbps": dec1 / 1e9,
-                        "ratio": sz1 / len(data)}
-    for lv in (2, 5):
-        enc, dec, sz = bench_level(data[: 16 << 20], lv)
-        detail[f"level{lv}"] = {"enc_gbps": enc / 1e9, "dec_gbps": dec / 1e9,
-                                "ratio": sz / (16 << 20)}
+    detail["levels"]["1"] = {
+        "enc_gbps": round(enc1 / 1e9, 4), "dec_gbps": round(dec1 / 1e9, 4),
+        "ratio": round(sz1 / len(data), 4)}
 
-    dev_bps, dev_name = bench_device_kernel()
-    detail["device_huffman_pack_gbps"] = dev_bps / 1e9
+    slice16 = data[: 16 << 20]
+    slice4 = data[: 4 << 20]
+    for lv in (0, 2, 3, 4, 5, 6, 7, 8, 9):
+        d = slice4 if lv >= 8 else slice16
+        enc, dec, sz = bench_level(d, lv)
+        detail["levels"][str(lv)] = {
+            "enc_gbps": round(enc / 1e9, 4), "dec_gbps": round(dec / 1e9, 4),
+            "ratio": round(sz / len(d), 4)}
+
+    # per-core-equivalent comparison vs the 16-core reference machine
+    ref_core = {}
+    for lv, (e_ms, d_ms) in REF_MS.items():
+        ref_core[str(lv)] = {
+            "enc_gbps_per_core": round(REF_BYTES / (e_ms / 1e3) / 1e9 / REFERENCE_CORES, 4),
+            "dec_gbps_per_core": round(REF_BYTES / (d_ms / 1e3) / 1e9 / REFERENCE_CORES, 4)}
+    detail["reference_per_core"] = ref_core
+    detail["host_cores"] = 1
+
+    compute, readback, dev_name = bench_device_kernel()
+    detail["device_huffman_pack_compute_gbps"] = round(compute / 1e9, 4)
+    detail["device_huffman_pack_readback_gbps"] = round(readback / 1e9, 4)
     detail["device"] = dev_name
     print(json.dumps(detail), file=sys.stderr)
 
     print(json.dumps({
-        "metric": "silesia-like mixed corpus encode GB/s (level 1, single chip)",
+        "metric": "silesia-like mixed corpus encode GB/s (level 1, 1 host core + 1 chip)",
         "value": round(enc1 / 1e9, 4),
         "unit": "GB/s",
         "vs_baseline": round(enc1 / 1e9 / BASELINE_L1_ENCODE_GBPS, 4),
