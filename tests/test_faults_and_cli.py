@@ -1,0 +1,181 @@
+"""Fault injection, event pipeline, and CLI-level tests
+(reference: v2/io/CompressedStream_test.go:188-501,
+v2/app/BlockCompressor_test.go:30-185).
+"""
+
+import io
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import kanzi_tpu
+from kanzi_tpu import KanziError
+from kanzi_tpu.app.infoprinter import InfoPrinter
+from kanzi_tpu.core import EventType
+from kanzi_tpu.kio import Reader, Writer
+
+
+class FailingWriter:
+    """Write sink that fails transiently after `fail_at` bytes."""
+
+    def __init__(self, fail_times: int = 1):
+        self.buf = io.BytesIO()
+        self.fail_times = fail_times
+        self.calls = 0
+
+    def write(self, b):
+        self.calls += 1
+        if self.fail_times > 0:
+            self.fail_times -= 1
+            raise OSError("transient write failure")
+        return self.buf.write(b)
+
+
+def test_write_after_close_raises():
+    w = Writer(io.BytesIO(), transform="NONE", entropy="NONE")
+    w.write(b"data")
+    w.close()
+    with pytest.raises(KanziError):
+        w.write(b"more")
+
+
+def test_close_idempotent():
+    out = io.BytesIO()
+    w = Writer(out, transform="NONE", entropy="NONE")
+    w.write(b"x" * 100)
+    w.close()
+    size = len(out.getvalue())
+    w.close()  # second close: no-op, no duplicate end marker
+    assert len(out.getvalue()) == size
+
+
+def test_truncated_stream_detected():
+    blob = kanzi_tpu.compress(b"payload " * 1000, level=1)
+    for cut in (5, len(blob) // 2, len(blob) - 1):
+        with pytest.raises(Exception):
+            kanzi_tpu.decompress(blob[:cut])
+
+
+def test_garbage_after_valid_stream_ignored():
+    data = b"tail garbage tolerance " * 100
+    blob = kanzi_tpu.compress(data, level=0)
+    # the end-of-stream marker bounds the stream; trailing bytes beyond it
+    # are not part of the container
+    assert kanzi_tpu.decompress(blob + b"\x00\x00garbage") == data
+
+
+def test_random_matrix_integration():
+    """Reference-style randomized matrix: codecs x jobs x block sizes x
+    compressibility (v2/io/CompressedStream_test.go:29-96)."""
+    rng = np.random.default_rng(99)
+    combos = [("LZ", "HUFFMAN"), ("ROLZ", "NONE"), ("BWT", "FPAQ")]
+    for it in range(6):
+        transform, entropy = combos[it % len(combos)]
+        jobs = int(rng.integers(1, 5))
+        block_size = int(rng.integers(1, 64)) * 1024
+        n = int(rng.integers(1, 3 * block_size))
+        if rng.integers(0, 2):  # compressible
+            data = rng.integers(0, 8, n, dtype=np.uint8).tobytes()
+        else:  # incompressible
+            data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        blob = kanzi_tpu.compress(data, transform=transform, entropy=entropy,
+                                  block_size=block_size, jobs=jobs, checksum=32)
+        assert kanzi_tpu.decompress(blob) == data, \
+            f"iter {it}: {transform}+{entropy} jobs={jobs} bs={block_size}"
+
+
+def test_event_pipeline_and_infoprinter():
+    data = b"event pipeline test " * 2000
+    log = io.StringIO()
+    printer = InfoPrinter(5, EventType.COMPRESSION_START, out=log)
+    out = io.BytesIO()
+    w = Writer(out, transform="LZ", entropy="HUFFMAN", block_size=16384,
+               file_size=len(data))
+    assert w.add_listener(printer)
+    w.write(data)
+    w.close()
+    text = log.getvalue()
+    assert "BEFORE_TRANSFORM" in text and "AFTER_ENTROPY" in text  # JSON @ v5
+    assert "Block 1:" in text  # latency table @ v4
+    assert w.remove_listener(printer)
+    assert not w.remove_listener(printer)
+
+    # decode side events
+    log2 = io.StringIO()
+    printer2 = InfoPrinter(5, EventType.DECOMPRESSION_START, out=log2)
+    r = Reader(out.getvalue())
+    r.add_listener(printer2)
+    assert r.read_all() == data
+    assert "BEFORE_ENTROPY" in log2.getvalue()
+
+
+def _run_cli(args, input_bytes=None):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    return subprocess.run(
+        [sys.executable, "-m", "kanzi_tpu.app"] + args,
+        input=input_bytes, capture_output=True, env=env, cwd="/root/repo")
+
+
+def test_cli_stdin_stdout_pipe():
+    data = b"stdin to stdout pipe " * 500
+    res = _run_cli(["-c", "-i", "STDIN", "-o", "STDOUT", "-l", "1", "-v", "0"],
+                   input_bytes=data)
+    assert res.returncode == 0, res.stderr
+    res2 = _run_cli(["-d", "-i", "STDIN", "-o", "STDOUT", "-v", "0"],
+                    input_bytes=res.stdout)
+    assert res2.returncode == 0, res2.stderr
+    assert res2.stdout == data
+
+
+def test_cli_multi_file_directory(tmp_path):
+    files = {}
+    for i in range(3):
+        p = tmp_path / f"f{i}.dat"
+        content = bytes([i]) * (1000 * (i + 1))
+        p.write_bytes(content)
+        files[str(p)] = content
+    res = _run_cli(["-c", "-i", str(tmp_path), "-l", "2", "-f", "-v", "0"])
+    assert res.returncode == 0, res.stderr
+    for p, content in files.items():
+        knz = p + ".knz"
+        assert os.path.exists(knz)
+        res = _run_cli(["-d", "-i", knz, "-o", p + ".out", "-f", "-v", "0"])
+        assert res.returncode == 0, res.stderr
+        assert open(p + ".out", "rb").read() == content
+
+
+def test_cli_overwrite_protection(tmp_path):
+    src = tmp_path / "in.txt"
+    src.write_bytes(b"overwrite test" * 10)
+    dst = tmp_path / "out.knz"
+    dst.write_bytes(b"existing")
+    res = _run_cli(["-c", "-i", str(src), "-o", str(dst), "-l", "1", "-v", "0"])
+    assert res.returncode != 0  # refused without -f
+    assert dst.read_bytes() == b"existing"
+    res = _run_cli(["-c", "-i", str(src), "-o", str(dst), "-l", "1", "-f", "-v", "0"])
+    assert res.returncode == 0
+
+
+def test_cli_info_mode(tmp_path):
+    src = tmp_path / "in.txt"
+    src.write_bytes(b"info mode " * 300)
+    knz = tmp_path / "in.knz"
+    _run_cli(["-c", "-i", str(src), "-o", str(knz), "-l", "3", "-f",
+              "-x64", "-v", "0"])
+    res = _run_cli(["-y", "-i", str(knz)])
+    assert res.returncode == 0, res.stderr
+    text = res.stdout.decode() + res.stderr.decode()
+    assert "bitstream version" in text and "HUFFMAN" in text
+    assert "64" in text  # checksum size
+
+
+def test_cli_rm_flag(tmp_path):
+    src = tmp_path / "in.txt"
+    src.write_bytes(b"remove me " * 100)
+    res = _run_cli(["-c", "-i", str(src), "-o", str(tmp_path / "o.knz"),
+                    "-l", "0", "-f", "--rm", "-v", "0"])
+    assert res.returncode == 0
+    assert not src.exists()
