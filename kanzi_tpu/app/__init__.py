@@ -231,15 +231,21 @@ def _compress_one(a: _Args, in_path: str, out_path: str, listener) -> int:
 
     start = time.time()
     import io as _io
+    from ..core import Event
     sink = _io.BytesIO()
     w = Writer(sink, transform=transform, entropy=entropy,
                block_size=block_size, jobs=max(a.jobs, 1), checksum=a.checksum,
                file_size=len(data))
     if listener:
         w.add_listener(listener)
+        listener.process_event(Event(EventType.COMPRESSION_START, -1, 0,
+                                     time_=start))
     w.write(data)
     w.close()
     blob = sink.getvalue()
+    if listener:
+        listener.process_event(Event(EventType.COMPRESSION_END, -1, len(blob),
+                                     time_=time.time()))
 
     if out_path == "STDOUT":
         sys.stdout.buffer.write(blob)
@@ -285,12 +291,18 @@ def _decompress_one(a: _Args, in_path: str, out_path: str, listener) -> int:
         ctx["to"] = a.block_to
 
     start = time.time()
+    from ..core import Event
     r = Reader(blob, jobs=max(a.jobs, 1), ctx=ctx)
     if listener:
         r.add_listener(listener)
+        listener.process_event(Event(EventType.DECOMPRESSION_START, -1, 0,
+                                     time_=start))
     data = r.read_all()
     r.close()
     dt = time.time() - start
+    if listener:
+        listener.process_event(Event(EventType.DECOMPRESSION_END, -1,
+                                     len(data), time_=time.time()))
 
     if out_path == "STDOUT":
         sys.stdout.buffer.write(data)

@@ -442,8 +442,25 @@ class Writer:
             results = list(self._pool.map(self._encode_one, args))
         else:
             results = [self._encode_one(a) for a in args]
-        for payload, bits in results:
+        for i, (payload, bits) in enumerate(results):
+            offset = self.written_bytes
             self._write_frame(payload, bits)
+            if self.listeners:
+                # block offset + skip flags (reference EVT_BLOCK_INFO,
+                # v2/io/CompressedStream.go:922-931); flags sit in the mode
+                # byte (or the byte after it when > 4 transforms)
+                mode = payload[0]
+                if mode & COPY_BLOCK_MASK:
+                    flags = 0xFF
+                elif mode & TRANSFORMS_MASK:
+                    flags = payload[1]
+                else:
+                    flags = ((mode << 4) | 0x0F) & 0xFF
+                _notify(self.listeners, Event(
+                    EventType.BLOCK_INFO, self._block_id + i + 1,
+                    (bits + 7) >> 3, 0, HashType.NONE, time.time(),
+                    msg=f'{{ "type":"BLOCK_INFO", "id":{self._block_id + i + 1},'
+                        f' "offset":{offset}, "skipFlags":"{flags:08b}" }}'))
         self._block_id += len(blocks)
 
     def _process_batch_device(self, blocks) -> None:
@@ -695,6 +712,17 @@ class Reader:
         cksum2 = ((cksum2 >> 23) ^ (cksum2 >> 3)) & ((1 << crc_size) - 1)
         if cksum1 != cksum2:
             raise KanziError("Invalid bitstream: checksum mismatch", ERR_CRC_CHECK)
+
+        if self.listeners:
+            _notify(self.listeners, Event(
+                EventType.AFTER_HEADER_DECODING, 0, self.block_size, 0,
+                HashType.NONE, time.time(),
+                msg=f'{{ "type":"AFTER_HEADER_DECODING", "bsVersion":{bs_version},'
+                    f' "blockSize":{self.block_size},'
+                    f' "entropy":"{self.ctx["entropy"]}",'
+                    f' "transform":"{self.ctx["transform"]}",'
+                    f' "checksum":{self.checksum_bits},'
+                    f' "outputSize":{self.outputSize} }}'))
 
     def _ensure_outbuf(self, nbytes: int) -> None:
         if self._outbuf is None:
