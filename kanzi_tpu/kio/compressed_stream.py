@@ -288,6 +288,7 @@ class Writer:
         # Huffman lanes of block i while the host transforms block i+1
         self._dev_engine = None
         self._dev_posts: list = []
+        self._slot_scratch: list = []  # per-block scratch for parallel encode
         if (self.ctx.get("useDevice") and self._use_native
                 and self.entropy_type == entropy_mod.HUFFMAN_TYPE):
             try:
@@ -405,17 +406,21 @@ class Writer:
                                       self.checksum_bits, block_id,
                                       tuple(self.listeners))
 
-    def _encode_one_native(self, block) -> int:
-        """Encode one block through the C++ one-shot path; returns bits."""
+    def _encode_one_native(self, block, slot: int = 0) -> tuple[np.ndarray, int]:
+        """Encode one block through the C++ one-shot path into the slot's
+        scratch buffer; returns (scratch, bits)."""
         data = np.frombuffer(block, dtype=np.uint8)
         cap = 2 * len(data) + 65536
-        if self._scratch is None or len(self._scratch) < cap:
-            self._scratch = np.empty(cap, dtype=np.uint8)
+        while len(self._slot_scratch) <= slot:
+            self._slot_scratch.append(None)
+        if self._slot_scratch[slot] is None or len(self._slot_scratch[slot]) < cap:
+            self._slot_scratch[slot] = np.empty(cap, dtype=np.uint8)
+        scratch = self._slot_scratch[slot]
         bits, _post, _flags, _cks = native.block_encode(
             data, self.transform_type, self.entropy_type, self.ctx,
             self.checksum_bits, bool(self.ctx.get("skipBlocks", False)),
-            self._scratch)
-        return bits
+            scratch)
+        return scratch, bits
 
     def _process_batch(self, batch) -> None:
         self._write_header()
@@ -430,10 +435,19 @@ class Writer:
                 self._block_id += len(blocks)
                 self._flush_chunks()
                 return
-            # fully-native path: one encode + one splice call per block
-            for b in blocks:
-                bits = self._encode_one_native(b)
-                self._append_frame(self._scratch, bits)
+            # fully-native path: one encode + one splice call per block;
+            # encodes run concurrently (ctypes releases the GIL — reference
+            # P1, one task per block) and frames splice in block order (P2)
+            if self._pool is not None and len(blocks) > 1:
+                while len(self._slot_scratch) < len(blocks):
+                    self._slot_scratch.append(None)
+                results = list(self._pool.map(
+                    lambda sb: self._encode_one_native(sb[1], sb[0]),
+                    enumerate(blocks)))
+            else:
+                results = [self._encode_one_native(b) for b in blocks]
+            for scratch, bits in results:
+                self._append_frame(scratch, bits)
             self._block_id += len(blocks)
             self._flush_chunks()
             return
@@ -602,6 +616,7 @@ class Reader:
         self._fast: bool | None = None
         self._outbuf: np.ndarray | None = None
         self._outbuf_len = 0
+        self._slot_out: list = []  # per-block buffers for parallel decode
         self.ctx = dict(ctx) if ctx else {}
         self.ctx.setdefault("jobs", jobs)
         self.headerless = headerless or bool(self.ctx.get("headerless", False))
@@ -793,12 +808,74 @@ class Reader:
         self._chunks_len += len(data)
         return True
 
+    def _read_batch_parallel(self) -> bool:
+        """Read up to `jobs` frames serially, decode them concurrently
+        (reference: frame reads are serialized on the shared bitstream,
+        decodes overlap — v2/io/CompressedStream.go:1798-1856), then append
+        in block order. Returns False once the end marker was consumed."""
+        br = self._br
+        frames = []
+        more = True
+        while len(frames) < self.jobs:
+            lw = br.read_bits(5) + 3
+            bits = br.read_bits(lw)
+            if bits == 0:
+                more = False
+                break
+            if bits > 1 << 34:
+                raise KanziError("Invalid block size", ERR_BLOCK_SIZE)
+            pos = br._pos
+            br._pos = pos + bits
+            self._block_id += 1
+            frm, to = self.ctx.get("from"), self.ctx.get("to")
+            if (frm is not None and self._block_id < frm) or \
+                    (to is not None and self._block_id >= to):
+                continue
+            frames.append((pos, self._block_id))
+        if not frames:
+            return more
+
+        while len(self._slot_out) < len(frames):
+            self._slot_out.append(None)
+        for i in range(len(frames)):
+            if self._slot_out[i] is None or len(self._slot_out[i]) < self.block_size:
+                self._slot_out[i] = np.empty(self.block_size, dtype=np.uint8)
+
+        def decode_one(args):
+            i, (pos, block_id) = args
+            try:
+                return native.block_decode(
+                    self._src, pos >> 3, pos & 7, self.transform_type,
+                    self.entropy_type, self.ctx, self.checksum_bits,
+                    self.block_size, self._slot_out[i], 0, self.block_size)
+            except native.ChecksumMismatch:
+                raise KanziError(
+                    f"Corrupted bitstream: block {block_id} checksum mismatch",
+                    ERR_CRC_CHECK)
+            except RuntimeError as e:
+                raise KanziError(f"Block {block_id}: {e}", ERR_PROCESS_BLOCK)
+
+        lens = list(self._pool.map(decode_one, enumerate(frames)))
+        total = sum(lens)
+        self._ensure_outbuf(self._outbuf_len + total)
+        for i, ln in enumerate(lens):
+            self._outbuf[self._outbuf_len:self._outbuf_len + ln] = \
+                self._slot_out[i][:ln]
+            self._outbuf_len += ln
+        return more
+
     def read(self, n: int = -1) -> bytes:
         if not self._initialized:
             self._read_header()
+        if self._fast is None:
+            self._fast = self._use_native and not self.listeners
+        use_batch = (self._fast and self._pool is not None and self.jobs > 1)
         while not self._eos and (
                 n < 0 or self._available() < n):
-            if not self._read_next_block():
+            if use_batch:
+                if not self._read_batch_parallel():
+                    self._eos = True
+            elif not self._read_next_block():
                 self._eos = True
         if self._fast:
             end = self._outbuf_len if n < 0 else min(self._outbuf_len,

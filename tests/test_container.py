@@ -1,6 +1,8 @@
 import io
 import random
 
+import numpy as np
+
 import pytest
 
 import kanzi_tpu
@@ -132,3 +134,18 @@ def test_from_to_block_range():
     blob = kanzi_tpu.compress(data, level=0, block_size=1024)
     out = kanzi_tpu.decompress(blob, ctx={"from": 2, "to": 3})
     assert out == b"B" * 1024
+
+
+def test_parallel_fast_paths_match_serial():
+    """jobs>1 routes encode and decode through the concurrent native paths;
+    bytes must match jobs=1 exactly (statelessness contract,
+    reference v2/Definitions.go:50-52)."""
+    rng = np.random.default_rng(17)
+    data = (b"parallel fast path " * 3000 +
+            rng.integers(0, 256, 100000, dtype=np.uint8).tobytes())
+    blob1 = kanzi_tpu.compress(data, level=2, jobs=1, block_size=16384)
+    blob4 = kanzi_tpu.compress(data, level=2, jobs=4, block_size=16384)
+    assert blob1 == blob4
+    assert kanzi_tpu.decompress(blob4, jobs=4) == data
+    part = kanzi_tpu.decompress(blob4, jobs=3, ctx={"from": 2, "to": 5})
+    assert part == data[16384:4 * 16384]
