@@ -235,7 +235,8 @@ def _compress_one(a: _Args, in_path: str, out_path: str, listener) -> int:
     sink = _io.BytesIO()
     w = Writer(sink, transform=transform, entropy=entropy,
                block_size=block_size, jobs=max(a.jobs, 1), checksum=a.checksum,
-               file_size=len(data))
+               file_size=len(data),
+               ctx={"skipBlocks": True} if a.skip else None)
     if listener:
         w.add_listener(listener)
         listener.process_event(Event(EventType.COMPRESSION_START, -1, 0,
@@ -382,27 +383,47 @@ def main(argv: list[str] | None = None) -> int:
         profiler = cProfile.Profile()
         profiler.enable()
 
-    res = 0
-    for in_path in inputs:
+    def _out_path_for(in_path: str) -> str:
         if a.mode == "c":
             if len(inputs) == 1:
-                out_path = a.output_name or (
+                return a.output_name or (
                     in_path + ".knz" if in_path != "STDIN" else "STDOUT")
-            else:
-                out_path = in_path + ".knz"
-            r = _compress_one(a, in_path, out_path, listener)
-        else:
-            if len(inputs) == 1:
-                if a.output_name:
-                    out_path = a.output_name
-                elif in_path.endswith(".knz"):
-                    out_path = in_path[:-4]
-                else:
-                    out_path = in_path + ".out" if in_path != "STDIN" else "STDOUT"
-            else:
-                out_path = in_path[:-4] if in_path.endswith(".knz") else in_path + ".out"
-            r = _decompress_one(a, in_path, out_path, listener)
-        res = res or r
+            return in_path + ".knz"
+        if len(inputs) == 1:
+            if a.output_name:
+                return a.output_name
+            if in_path.endswith(".knz"):
+                return in_path[:-4]
+            return in_path + ".out" if in_path != "STDIN" else "STDOUT"
+        return in_path[:-4] if in_path.endswith(".knz") else in_path + ".out"
+
+    def _run_one(in_path: str, jobs: int) -> int:
+        sub = a
+        if jobs != a.jobs:
+            import copy
+            sub = copy.copy(a)
+            sub.jobs = jobs
+        if a.mode == "c":
+            return _compress_one(sub, in_path, _out_path_for(in_path), listener)
+        return _decompress_one(sub, in_path, _out_path_for(in_path), listener)
+
+    res = 0
+    if len(inputs) > 1 and a.jobs > 1 and "STDIN" not in inputs:
+        # multi-file worker pool: jobs split across concurrent file tasks
+        # (reference P3, v2/app/BlockCompressor.go:543-618 +
+        # internal.ComputeJobsPerTask)
+        from concurrent.futures import ThreadPoolExecutor
+        from ..internal import compute_jobs_per_task
+        tasks = min(len(inputs), a.jobs)
+        per_task = compute_jobs_per_task(a.jobs, tasks)
+        with ThreadPoolExecutor(max_workers=tasks) as pool:
+            futs = [pool.submit(_run_one, p, per_task[i % tasks])
+                    for i, p in enumerate(inputs)]
+            for f in futs:
+                res = res or f.result()
+    else:
+        for in_path in inputs:
+            res = res or _run_one(in_path, a.jobs)
 
     if profiler is not None:
         profiler.disable()

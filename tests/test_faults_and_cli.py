@@ -179,3 +179,27 @@ def test_cli_rm_flag(tmp_path):
                     "-l", "0", "-f", "--rm", "-v", "0"])
     assert res.returncode == 0
     assert not src.exists()
+
+
+def test_fuzz_mutations_never_crash_or_pass_silently():
+    """Seeded mutation fuzz: every corrupted stream must raise a Python
+    exception (typed errors, bounds-checked decoders — reference §5 failure
+    detection); with checksums on, none may round-trip silently wrong."""
+    rng = np.random.default_rng(123)
+    base = (b"fuzz corpus data " * 1000 +
+            rng.integers(0, 256, 10000, dtype=np.uint8).tobytes())
+    for lv in (0, 1, 2, 5):
+        blob = bytearray(kanzi_tpu.compress(base, level=lv, block_size=65536,
+                                            checksum=32))
+        for _ in range(10):
+            b = bytearray(blob)
+            for _ in range(int(rng.integers(1, 4))):
+                i = int(rng.integers(0, len(b)))
+                b[i] ^= int(rng.integers(1, 256))
+            try:
+                out = kanzi_tpu.decompress(bytes(b))
+                assert out == base or False, "silent corruption"
+            except AssertionError:
+                raise
+            except Exception:
+                pass  # typed rejection is the expected outcome
