@@ -768,6 +768,14 @@ class Reader:
             br._pos += bits  # skipped block: advance past the payload
             return True
 
+        if int(self.ctx.get("bsVersion", BITSTREAM_FORMAT_VERSION)) < 6:
+            # v5 headers parse (for -y info / header inspection and block
+            # skipping), but legacy payload decoding is out of scope — fail
+            # clearly instead of decoding garbage
+            raise KanziError(
+                "Legacy bitstream payloads (version < 6) are not supported",
+                ERR_STREAM_VERSION)
+
         if self._fast is None:
             # freeze the path on the first block so output ordering is
             # consistent even if listeners are mutated mid-stream
@@ -832,6 +840,10 @@ class Reader:
                     (to is not None and self._block_id >= to):
                 continue
             frames.append((pos, self._block_id))
+        if frames and int(self.ctx.get("bsVersion", BITSTREAM_FORMAT_VERSION)) < 6:
+            raise KanziError(
+                "Legacy bitstream payloads (version < 6) are not supported",
+                ERR_STREAM_VERSION)
         if not frames:
             return more
 
