@@ -192,10 +192,16 @@ class IBS {
         if (k == 0) {
             std::memcpy(dst, buf_ + first, nbytes);
         } else {
-            for (u64 i = 0; i < nbytes; i++) {
-                u8 hi = buf_[first + i];
-                u8 lo = (first + i + 1 < ((nbits_ + 7) >> 3)) ? buf_[first + i + 1] : 0;
-                dst[i] = (u8)((hi << k) | (lo >> (8 - k)));
+            u64 bufBytes = (nbits_ + 7) >> 3;
+            u64 main = (first + nbytes < bufBytes) ? nbytes
+                                                   : (bufBytes - first - 1);
+            const u8* p = buf_ + first;
+            // dependency-free shift: auto-vectorizes
+            for (u64 i = 0; i < main; i++)
+                dst[i] = (u8)((p[i] << k) | (p[i + 1] >> (8 - k)));
+            for (u64 i = main; i < nbytes; i++) {
+                u8 lo = (first + i + 1 < bufBytes) ? p[i + 1] : 0;
+                dst[i] = (u8)((p[i] << k) | (lo >> (8 - k)));
             }
         }
         u32 rem = (u32)(count & 7);
