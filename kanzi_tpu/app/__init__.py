@@ -222,6 +222,7 @@ def _compress_one(a: _Args, in_path: str, out_path: str, listener) -> int:
         jobs = max(a.jobs, 1)
         block_size = max((len(data) + jobs - 1) // jobs, 1024)
         block_size = (block_size + 63) & ~63
+        block_size = min(block_size, 1 << 30)
     elif block_size == -2:
         block_size = block_size_for_level(a.level) if a.level >= 0 else DEFAULT_BLOCK_SIZE
 

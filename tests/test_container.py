@@ -149,3 +149,20 @@ def test_parallel_fast_paths_match_serial():
     assert kanzi_tpu.decompress(blob4, jobs=4) == data
     part = kanzi_tpu.decompress(blob4, jobs=3, ctx={"from": 2, "to": 5})
     assert part == data[16384:4 * 16384]
+
+
+def test_reader_partial_reads():
+    """read(n) must return exactly n bytes until exhaustion, across block
+    boundaries, matching Go io.Reader semantics (reference Reader.Read)."""
+    data = bytes(range(256)) * 500
+    blob = kanzi_tpu.compress(data, level=1, block_size=16384)
+    from kanzi_tpu.kio import Reader
+    r = Reader(blob)
+    chunks = []
+    while True:
+        c = r.read(7000)
+        if not c:
+            break
+        chunks.append(c)
+    assert all(len(c) == 7000 for c in chunks[:-1])
+    assert b"".join(chunks) == data
