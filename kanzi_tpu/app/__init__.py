@@ -15,7 +15,8 @@ import time
 from .. import (LEVEL_PRESETS, DEFAULT_BLOCK_SIZE, Reader, Writer, KanziError,
                 block_size_for_level)
 from ..core import (ERR_INVALID_PARAM, ERR_MISSING_PARAM, ERR_OPEN_FILE,
-                    ERR_OVERWRITE_FILE, ERR_CREATE_FILE, EventType)
+                    ERR_OVERWRITE_FILE, ERR_CREATE_FILE, ERR_PROCESS_BLOCK,
+                    EventType)
 from .infoprinter import InfoPrinter
 
 _APP_HEADER = "kanzi_tpu 0.1.0 (C) 2026"
@@ -302,6 +303,10 @@ def _decompress_one(a: _Args, in_path: str, out_path: str, listener) -> int:
     data = r.read_all()
     r.close()
     dt = time.time() - start
+    if r.outputSize and len(data) != r.outputSize:
+        print(f"Corrupted bitstream: invalid output size (expected "
+              f"{r.outputSize}, got {len(data)})", file=sys.stderr)
+        return ERR_PROCESS_BLOCK
     if listener:
         listener.process_event(Event(EventType.DECOMPRESSION_END, -1,
                                      len(data), time_=time.time()))

@@ -275,6 +275,7 @@ class Writer:
         self._block_id = 0
         self._initialized = False
         self._closed = False
+        self._finalized = False
         self.listeners: list = []
         self._pool = ThreadPoolExecutor(max_workers=jobs) if jobs > 1 else None
         # native fast path: the stream lives in a pooled numpy buffer and
@@ -382,6 +383,9 @@ class Writer:
             off += limit
         if off < n:
             self._pending += mv[off:]
+        # sink IO happens only after ALL input is consumed into the encoded
+        # buffer, so a transient sink failure is retryable via close()
+        self._flush_chunks()
         return n
 
     def _ensure_stream(self, nbytes: int) -> None:
@@ -433,7 +437,6 @@ class Writer:
             if self._dev_engine is not None:
                 self._process_batch_device(blocks)
                 self._block_id += len(blocks)
-                self._flush_chunks()
                 return
             # fully-native path: one encode + one splice call per block;
             # encodes run concurrently (ctypes releases the GIL — reference
@@ -449,7 +452,6 @@ class Writer:
             for scratch, bits in results:
                 self._append_frame(scratch, bits)
             self._block_id += len(blocks)
-            self._flush_chunks()
             return
         args = [(b, self._block_id + i + 1) for i, b in enumerate(blocks)]
         if self._pool is not None and len(blocks) > 1:
@@ -534,7 +536,6 @@ class Writer:
     def _write_frame(self, payload: bytes, bits: int) -> None:
         if self._use_native:
             self._append_frame(np.frombuffer(payload, dtype=np.uint8), bits)
-            self._flush_chunks()
             return
         lw = 3 if bits < 8 else internal.log2_no_check(bits >> 3) + 4
         self._bw.write_bits(lw - 3, 5)
@@ -561,24 +562,33 @@ class Writer:
             data.clear()
 
     def close(self) -> None:
+        """Close the stream. Retryable after a transient sink failure
+        (reference: v2/bitstream/DefaultOutputBitStream.go:237-257 + tests):
+        a failed write leaves the buffered state intact, and a second close()
+        resumes without duplicating the end marker."""
         if self._closed:
             return
-        self._process_batch(self._pending)
-        self._pending = bytearray()
-        self._write_header()  # empty input still gets a header
+        if not self._finalized:
+            self._process_batch(self._pending)
+            self._pending = bytearray()
+            self._write_header()  # empty input still gets a header
+            if self._use_native:
+                self._ensure_stream((self._bitpos >> 3) + 16)
+                nbytes = native.stream_close(self._stream, self._bitpos)
+                self._bits_total += nbytes * 8 - self._bitpos
+                self._bitpos = nbytes * 8
+            else:
+                # end-of-stream marker: zero-length block
+                self._bw.write_bits(0, 5)
+                self._bw.write_bits(0, 3)
+                self._bw.close()
+            self._finalized = True
         if self._use_native:
-            self._ensure_stream((self._bitpos >> 3) + 16)
-            nbytes = native.stream_close(self._stream, self._bitpos)
-            self._bits_total += nbytes * 8 - self._bitpos
-            self._bitpos = nbytes * 8
             if self._os is not None:
+                nbytes = self._bitpos >> 3
                 self._os.write(self._stream[:nbytes].tobytes())
                 self._bitpos = 0
         else:
-            # end-of-stream marker: zero-length block
-            self._bw.write_bits(0, 5)
-            self._bw.write_bits(0, 3)
-            self._bw.close()
             self._flush_chunks()
         self._closed = True
         if self._pool is not None:

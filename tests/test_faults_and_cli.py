@@ -203,3 +203,19 @@ def test_fuzz_mutations_never_crash_or_pass_silently():
                 raise
             except Exception:
                 pass  # typed rejection is the expected outcome
+
+
+def test_writer_close_retry_after_transient_failure():
+    """A failed close() leaves buffered state intact; retrying resumes and
+    produces a valid stream with exactly one end marker (reference
+    v2/bitstream/DefaultOutputBitStream.go:237-257 + io tests)."""
+    data = b"transient failure retry " * 500
+    sink = FailingWriter(fail_times=1)
+    w = Writer(sink, transform="LZ", entropy="HUFFMAN", block_size=4096,
+               file_size=len(data))
+    # the first batch flush hits the transient failure; encoded data stays
+    # buffered, so close() resumes and emits the complete stream
+    with pytest.raises(OSError):
+        w.write(data)
+    w.close()
+    assert kanzi_tpu.decompress(sink.buf.getvalue()) == data
