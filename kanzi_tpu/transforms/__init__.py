@@ -115,12 +115,12 @@ def _new_transform(ctx: dict, ttype: int) -> Transform:
         from .native_backed import BWTS
         return BWTS(ctx)
     if ttype == DICT_TYPE:
-        from .pending import TextCodec
+        from .content_aware import TextCodec
         entropy_name = str(ctx.get("entropy", "")).upper()
         ctx["textcodec"] = 2 if entropy_name in ("NONE", "ANS0", "HUFFMAN", "RANGE") else 1
         return TextCodec(ctx)
     if ttype == UTF_TYPE:
-        from .pending import UTFCodec
+        from .content_aware import UTFCodec
         return UTFCodec(ctx)
     if ttype == PACK_TYPE:
         from .alias import AliasCodec
@@ -130,13 +130,13 @@ def _new_transform(ctx: dict, ttype: int) -> Transform:
         ctx["packOnlyDNA"] = True
         return AliasCodec(ctx)
     if ttype == MM_TYPE:
-        from .pending import FSDCodec
+        from .content_aware import FSDCodec
         return FSDCodec(ctx)
     if ttype == EXE_TYPE:
-        from .pending import EXECodec
+        from .content_aware import EXECodec
         return EXECodec(ctx)
     if ttype in (ROLZ_TYPE, ROLZX_TYPE):
-        from .pending import ROLZCodec
+        from .content_aware import ROLZCodec
         return ROLZCodec(ctx, extra=(ttype == ROLZX_TYPE))
     raise ValueError(f"Unknown transform type: '{ttype}'")
 

@@ -1,10 +1,11 @@
-"""Interim always-skip implementations for transforms still being ported to
-the native runtime (TEXT, UTF, MM/FSD, EXE, ROLZ).
+"""Content-aware transforms backed by the native runtime: TEXT (dictionary
+word replacement), UTF (codepoint aliasing), MM/FSD (fixed-step delta for
+multimedia), EXE (branch-target rewriting), ROLZ/ROLZX (reduced-offset LZ).
 
-A skipped transform is format-legal: the skip bit is recorded in the block's
-skip-flags byte and decode passes through. Ratio improves as the real
-implementations land in kanzi_tpu/native/src/; round-trip correctness is
-unaffected.
+These are the branchy, data-dependent codecs (reference: v2/transform/
+TextCodec.go, UTFCodec.go, FSDCodec.go, EXECodec.go, ROLZCodec.go). A
+transform that vetoes (wrong data type, no gain) raises TransformSkip; the
+skip bit lands in the block's skip-flags byte and decode passes through.
 """
 
 from __future__ import annotations
