@@ -160,6 +160,22 @@ def main():
     detail["device_huffman_pack_compute_gbps"] = round(compute / 1e9, 4)
     detail["device_huffman_pack_readback_gbps"] = round(readback / 1e9, 4)
     detail["device"] = dev_name
+    try:
+        import jax
+        import jax.numpy as jnp
+        from kanzi_tpu.ops.pallas_kernels import block_stats_pallas
+        rng = np.random.default_rng(2)
+        blocks = jnp.asarray(rng.integers(0, 256, (16, 1 << 20), dtype=np.uint8))
+        out = block_stats_pallas(blocks)
+        jax.block_until_ready(out)
+        t = time.perf_counter()
+        for _ in range(5):
+            out = block_stats_pallas(blocks)
+        jax.block_until_ready(out)
+        detail["pallas_block_stats_gbps"] = round(
+            5 * 16 * (1 << 20) / (time.perf_counter() - t) / 1e9, 2)
+    except Exception:
+        detail["pallas_block_stats_gbps"] = 0.0
     print(json.dumps(detail), file=sys.stderr)
 
     print(json.dumps({
