@@ -209,11 +209,12 @@ def _compress_one(a: _Args, in_path: str, out_path: str, listener) -> int:
         transform, entropy = LEVEL_PRESETS[a.level]
 
     if in_path == "STDIN":
-        data = sys.stdin.buffer.read()
+        fin = sys.stdin.buffer
+        file_size = 0
     else:
         try:
-            with open(in_path, "rb") as f:
-                data = f.read()
+            fin = open(in_path, "rb")
+            file_size = os.path.getsize(in_path)
         except OSError as e:
             print(f"Cannot open input file '{in_path}': {e}", file=sys.stderr)
             return ERR_OPEN_FILE
@@ -221,7 +222,7 @@ def _compress_one(a: _Args, in_path: str, out_path: str, listener) -> int:
     block_size = a.block_size
     if block_size == -1:  # auto: fileSize/jobs rounded (reference :522-528)
         jobs = max(a.jobs, 1)
-        block_size = max((len(data) + jobs - 1) // jobs, 1024)
+        block_size = max((file_size + jobs - 1) // jobs, 1024)
         block_size = (block_size + 63) & ~63
         block_size = min(block_size, 1 << 30)
     elif block_size == -2:
@@ -232,39 +233,51 @@ def _compress_one(a: _Args, in_path: str, out_path: str, listener) -> int:
         return ERR_OVERWRITE_FILE
 
     start = time.time()
-    import io as _io
     from ..core import Event
-    sink = _io.BytesIO()
-    w = Writer(sink, transform=transform, entropy=entropy,
+    from ..kio import NullOutputStream
+    if out_path == "STDOUT":
+        fout = sys.stdout.buffer
+    elif out_path == "NONE":
+        fout = NullOutputStream()
+    else:
+        try:
+            fout = open(out_path, "wb")
+        except OSError as e:
+            print(f"Cannot create output file '{out_path}': {e}", file=sys.stderr)
+            return ERR_CREATE_FILE
+
+    w = Writer(fout, transform=transform, entropy=entropy,
                block_size=block_size, jobs=max(a.jobs, 1), checksum=a.checksum,
-               file_size=len(data),
+               file_size=file_size,
                ctx={"skipBlocks": True} if a.skip else None)
     if listener:
         w.add_listener(listener)
         listener.process_event(Event(EventType.COMPRESSION_START, -1, 0,
                                      time_=start))
-    w.write(data)
+    # stream in bounded chunks (the Writer batches into block buffers)
+    read_size = max(block_size, 1 << 20)
+    nread = 0
+    while True:
+        chunk = fin.read(read_size)
+        if not chunk:
+            break
+        nread += len(chunk)
+        w.write(chunk)
     w.close()
-    blob = sink.getvalue()
+    nwritten = w.written_bytes
+    if in_path != "STDIN":
+        fin.close()
+    if out_path not in ("STDOUT", "NONE"):
+        fout.close()
     if listener:
-        listener.process_event(Event(EventType.COMPRESSION_END, -1, len(blob),
+        listener.process_event(Event(EventType.COMPRESSION_END, -1, nwritten,
                                      time_=time.time()))
-
-    if out_path == "STDOUT":
-        sys.stdout.buffer.write(blob)
-    elif out_path != "NONE":
-        try:
-            with open(out_path, "wb") as f:
-                f.write(blob)
-        except OSError as e:
-            print(f"Cannot create output file '{out_path}': {e}", file=sys.stderr)
-            return ERR_CREATE_FILE
 
     dt = time.time() - start
     if a.verbose >= 1:
-        ratio = len(blob) / max(len(data), 1)
-        speed = len(data) / max(dt, 1e-9) / 1024
-        print(f"Compressed {in_path}: {len(data)} => {len(blob)} bytes "
+        ratio = nwritten / max(nread, 1)
+        speed = nread / max(dt, 1e-9) / 1024
+        print(f"Compressed {in_path}: {nread} => {nwritten} bytes "
               f"({100 * ratio:.2f}%) in {1000 * dt:.0f} ms ({speed:.0f} KiB/s)",
               file=sys.stderr)
     if a.remove and in_path != "STDIN":
@@ -274,11 +287,12 @@ def _compress_one(a: _Args, in_path: str, out_path: str, listener) -> int:
 
 def _decompress_one(a: _Args, in_path: str, out_path: str, listener) -> int:
     if in_path == "STDIN":
-        blob = sys.stdin.buffer.read()
+        fin = sys.stdin.buffer
+        in_size = 0
     else:
         try:
-            with open(in_path, "rb") as f:
-                blob = f.read()
+            fin = open(in_path, "rb")
+            in_size = os.path.getsize(in_path)
         except OSError as e:
             print(f"Cannot open input file '{in_path}': {e}", file=sys.stderr)
             return ERR_OPEN_FILE
@@ -295,30 +309,43 @@ def _decompress_one(a: _Args, in_path: str, out_path: str, listener) -> int:
 
     start = time.time()
     from ..core import Event
-    r = Reader(blob, jobs=max(a.jobs, 1), ctx=ctx)
+    from ..kio import NullOutputStream
+    if out_path == "STDOUT":
+        fout = sys.stdout.buffer
+    elif out_path == "NONE":
+        fout = NullOutputStream()
+    else:
+        fout = open(out_path, "wb")
+
+    r = Reader(fin, jobs=max(a.jobs, 1), ctx=ctx)  # streaming source
     if listener:
         r.add_listener(listener)
         listener.process_event(Event(EventType.DECOMPRESSION_START, -1, 0,
                                      time_=start))
-    data = r.read_all()
+    ndec = 0
+    while True:
+        data = r.read(1 << 20)
+        if not data:
+            break
+        ndec += len(data)
+        fout.write(data)
     r.close()
+    if in_path != "STDIN":
+        fin.close()
+    if out_path not in ("STDOUT", "NONE"):
+        fout.close()
     dt = time.time() - start
-    if r.outputSize and len(data) != r.outputSize:
+    if r.outputSize and ndec != r.outputSize:
         print(f"Corrupted bitstream: invalid output size (expected "
-              f"{r.outputSize}, got {len(data)})", file=sys.stderr)
+              f"{r.outputSize}, got {ndec})", file=sys.stderr)
         return ERR_PROCESS_BLOCK
     if listener:
         listener.process_event(Event(EventType.DECOMPRESSION_END, -1,
-                                     len(data), time_=time.time()))
+                                     ndec, time_=time.time()))
 
-    if out_path == "STDOUT":
-        sys.stdout.buffer.write(data)
-    elif out_path != "NONE":
-        with open(out_path, "wb") as f:
-            f.write(data)
     if a.verbose >= 1:
-        speed = len(data) / max(dt, 1e-9) / 1024
-        print(f"Decompressed {in_path}: {len(blob)} => {len(data)} bytes "
+        speed = ndec / max(dt, 1e-9) / 1024
+        print(f"Decompressed {in_path}: {in_size or 'stream'} => {ndec} bytes "
               f"in {1000 * dt:.0f} ms ({speed:.0f} KiB/s)", file=sys.stderr)
     if a.remove and in_path != "STDIN":
         os.remove(in_path)

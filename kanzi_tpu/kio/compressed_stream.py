@@ -612,16 +612,26 @@ class Writer:
 class Reader:
     """Decompressing reader for KANZ streams (v5/v6 headers; v6 payloads).
 
-    Accepts bytes or a file-like object (slurped). Mirrors kio.NewReader
+    Accepts bytes (zero-copy) or a file-like object, which is read
+    incrementally with consumed bytes dropped — decoding is
+    constant-memory in the stream size. Mirrors kio.NewReader
     (reference: v2/io/CompressedStream.go:1047-1110).
     """
 
+    _REFILL = 1 << 20       # streaming read granularity
+    _COMPACT = 32 << 20     # drop consumed source bytes past this point
+
     def __init__(self, source, jobs: int = 1, headerless: bool = False,
                  ctx: dict | None = None):
+        self._fh = None
         if hasattr(source, "read"):
-            source = source.read()
-        self._br = BitReader(source)
-        self._src = self._br._buf  # zero-copy u8 view of the whole stream
+            self._fh = source
+            self._srcbuf = np.empty(self._REFILL, dtype=np.uint8)
+            self._src_len = 0
+        else:
+            self._srcbuf = np.frombuffer(source, dtype=np.uint8)
+            self._src_len = len(self._srcbuf)
+        self._rebind(0)
         self._use_native = native.available()
         self._fast: bool | None = None
         self._outbuf: np.ndarray | None = None
@@ -655,6 +665,44 @@ class Reader:
         self.listeners.append(bl)
         return True
 
+    def _rebind(self, bitpos: int) -> None:
+        """(Re)create the bit reader + native view over the valid prefix."""
+        self._src = self._srcbuf[:self._src_len]
+        self._br = BitReader(self._src)
+        self._br._pos = bitpos
+
+    def _ensure_bits(self, end_bits: int) -> None:
+        """Best-effort fill of the source buffer up to `end_bits`."""
+        if self._fh is None:
+            return
+        need = (end_bits + 7) >> 3
+        while self._src_len < need:
+            chunk = self._fh.read(max(need - self._src_len, self._REFILL))
+            if not chunk:
+                break
+            arr = np.frombuffer(chunk, dtype=np.uint8)
+            if self._src_len + len(arr) > len(self._srcbuf):
+                new = np.empty(max(2 * len(self._srcbuf),
+                                   self._src_len + len(arr)), dtype=np.uint8)
+                new[:self._src_len] = self._srcbuf[:self._src_len]
+                self._srcbuf = new
+            self._srcbuf[self._src_len:self._src_len + len(arr)] = arr
+            self._src_len += len(arr)
+        self._rebind(self._br._pos)
+
+    def _compact(self) -> None:
+        """Drop consumed whole source bytes (streaming mode, frame-aligned
+        call sites only — no outstanding positions may exist)."""
+        if self._fh is None:
+            return
+        drop = self._br._pos >> 3
+        if drop < self._COMPACT:
+            return
+        keep = self._src_len - drop
+        self._srcbuf[:keep] = self._srcbuf[drop:self._src_len]
+        self._src_len = keep
+        self._rebind(self._br._pos & 7)
+
     def _init_headerless(self) -> None:
         self._initialized = True
         self.entropy_type = entropy_mod.get_type(str(self.ctx.get("entropy", "NONE")))
@@ -668,6 +716,7 @@ class Reader:
         if self._initialized:
             return
         self._initialized = True
+        self._ensure_bits(64 * 8)
         br = self._br
         if br.read_bits(32) != BITSTREAM_TYPE:
             raise KanziError("Invalid stream type", ERR_INVALID_FILE)
@@ -751,7 +800,8 @@ class Reader:
 
     def _ensure_outbuf(self, nbytes: int) -> None:
         if self._outbuf is None:
-            init = self.outputSize + 16 if self.outputSize else max(
+            init = self.outputSize + 16 if (self.outputSize and
+                                            self._fh is None) else max(
                 4 * self.block_size, nbytes)
             self._outbuf = np.empty(max(init, nbytes), dtype=np.uint8)
         elif len(self._outbuf) < nbytes:
@@ -762,6 +812,8 @@ class Reader:
     def _read_next_block(self) -> bool:
         """Read+decode the next block into the output buffer.
         Returns False at end of stream."""
+        self._compact()
+        self._ensure_bits(self._br._pos + 40)
         br = self._br
         lw = br.read_bits(5) + 3
         bits = br.read_bits(lw)
@@ -769,6 +821,8 @@ class Reader:
             return False
         if bits > 1 << 34:
             raise KanziError("Invalid block size", ERR_BLOCK_SIZE)
+        self._ensure_bits(br.read + bits + 40)
+        br = self._br
         self._block_id += 1
 
         frm = self.ctx.get("from")
@@ -831,10 +885,12 @@ class Reader:
         (reference: frame reads are serialized on the shared bitstream,
         decodes overlap — v2/io/CompressedStream.go:1798-1856), then append
         in block order. Returns False once the end marker was consumed."""
-        br = self._br
+        self._compact()
         frames = []
         more = True
         while len(frames) < self.jobs:
+            self._ensure_bits(self._br._pos + 40)
+            br = self._br
             lw = br.read_bits(5) + 3
             bits = br.read_bits(lw)
             if bits == 0:
@@ -842,6 +898,8 @@ class Reader:
                 break
             if bits > 1 << 34:
                 raise KanziError("Invalid block size", ERR_BLOCK_SIZE)
+            self._ensure_bits(br.read + bits + 40)
+            br = self._br
             pos = br._pos
             br._pos = pos + bits
             self._block_id += 1
@@ -905,6 +963,12 @@ class Reader:
             res = (b"" if self._outbuf is None
                    else self._outbuf[self._out_pos:end].tobytes())
             self._out_pos = end
+            if self._fh is not None and self._out_pos >= (32 << 20):
+                # streaming mode: drop served output, keep memory bounded
+                rem = self._outbuf_len - self._out_pos
+                self._outbuf[:rem] = self._outbuf[self._out_pos:self._outbuf_len]
+                self._outbuf_len = rem
+                self._out_pos = 0
             return res
         if self._chunks:
             if not self._out and self._out_pos == 0 and len(self._chunks) == 1:

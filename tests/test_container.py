@@ -166,3 +166,30 @@ def test_reader_partial_reads():
         chunks.append(c)
     assert all(len(c) == 7000 for c in chunks[:-1])
     assert b"".join(chunks) == data
+
+
+def test_streaming_reader_constant_memory_path():
+    """File-like sources decode incrementally: consumed source bytes and
+    served output are dropped (constant-memory streaming, reference streams
+    block by block rather than slurping)."""
+    import io as _io
+    data = bytes(range(256)) * 2000
+    blob = kanzi_tpu.compress(data, level=2, block_size=16384)
+    from kanzi_tpu.kio import Reader
+    r = Reader(_io.BytesIO(blob))
+    out = bytearray()
+    while True:
+        c = r.read(10000)
+        if not c:
+            break
+        out += c
+    assert bytes(out) == data
+    # tiny refills stress the ensure/rebind logic
+    class Dribble:
+        def __init__(s, b): s.b, s.i = b, 0
+        def read(s, n):
+            chunk = s.b[s.i:s.i + min(n, 777)]
+            s.i += len(chunk)
+            return chunk
+    r2 = Reader(Dribble(blob))
+    assert r2.read_all() == data
