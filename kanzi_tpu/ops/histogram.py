@@ -16,8 +16,10 @@ def histograms_u8(blocks: jax.Array) -> jax.Array:
     """blocks: (B, N) uint8 -> (B, 256) int32 counts.
 
     On TPU backends with tile-aligned blocks this dispatches to the Pallas
-    VPU kernel (ops.pallas_kernels, ~400 GB/s on a v5e); otherwise the XLA
-    scatter-add formulation below."""
+    VPU kernel (ops.pallas_kernels); otherwise the XLA scatter-add
+    formulation below. Measured end-to-end through this environment's
+    network tunnel the kernel is dispatch-latency-bound (~0.6 GB/s); see
+    bench.py for the honest numbers."""
     N = blocks.shape[-1]
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
