@@ -353,10 +353,10 @@ def _decompress_one(a: _Args, in_path: str, out_path: str, listener) -> int:
 
 
 def _info_one(a: _Args, in_path: str) -> int:
+    # streaming source: only the header bytes are read
     with open(in_path, "rb") as f:
-        blob = f.read()
-    r = Reader(blob, ctx={"from": 1, "to": 1})
-    r._read_header()
+        r = Reader(f, ctx={"from": 1, "to": 1})
+        r._read_header()
     from .. import entropy as em, transforms as tm
     print(f"{in_path}:")
     print(f"  bitstream version: {r.ctx.get('bsVersion')}")
