@@ -24,7 +24,11 @@ int sbrtForward(const u8* src, i32 count, u8* dst, i64 cap, int mode, i32* outLe
     u32 shift = (mode == 2) ? 1 : 0;   // RANK
 
     u8 s2r[256], r2s[256];
-    i32 p[256] = {0}, q[256] = {0};
+    i32 p[256] = {0};
+    i32 qr[256] = {0};  // the rank list's keys, indexed BY RANK: scanning
+                        // it directly avoids the q[r2s[r-1]] dependent-load
+                        // chain of the naive walk (post-BWT data hits large
+                        // ranks, making this the hot loop of level 5)
     for (int i = 0; i < 256; i++) s2r[i] = r2s[i] = (u8)i;
 
     for (i32 i = 0; i < count; i++) {
@@ -33,15 +37,16 @@ int sbrtForward(const u8* src, i32 count, u8* dst, i64 cap, int mode, i32* outLe
         dst[i] = (u8)r;
         i32 qc = ((i & mask1) + (p[c] & mask2)) >> shift;
         p[c] = i;
-        q[c] = qc;
-        while (r > 0 && q[r2s[r - 1]] <= qc) {
-            u8 t = r2s[r - 1];
-            r2s[r] = t;
-            s2r[t] = (u8)r;
-            r--;
+        u32 rt = r;
+        while (rt > 0 && qr[rt - 1] <= qc) rt--;
+        if (rt < r) {
+            std::memmove(&r2s[rt + 1], &r2s[rt], r - rt);
+            std::memmove(&qr[rt + 1], &qr[rt], (r - rt) * sizeof(i32));
+            for (u32 j = rt + 1; j <= r; j++) s2r[r2s[j]] = (u8)j;
         }
-        r2s[r] = c;
-        s2r[c] = (u8)r;
+        r2s[rt] = c;
+        qr[rt] = qc;
+        s2r[c] = (u8)rt;
     }
     *outLen = count;
     return 0;
@@ -54,7 +59,8 @@ int sbrtInverse(const u8* src, i32 count, u8* dst, i64 cap, int mode, i32* outLe
     u32 shift = (mode == 2) ? 1 : 0;
 
     u8 r2s[256];
-    i32 p[256] = {0}, q[256] = {0};
+    i32 p[256] = {0};
+    i32 qr[256] = {0};  // keys by rank (see sbrtForward)
     for (int i = 0; i < 256; i++) r2s[i] = (u8)i;
 
     for (i32 i = 0; i < count; i++) {
@@ -63,12 +69,14 @@ int sbrtInverse(const u8* src, i32 count, u8* dst, i64 cap, int mode, i32* outLe
         dst[i] = c;
         i32 qc = ((i & mask1) + (p[c] & mask2)) >> shift;
         p[c] = i;
-        q[c] = qc;
-        while (r > 0 && q[r2s[r - 1]] <= qc) {
-            r2s[r] = r2s[r - 1];
-            r--;
+        u32 rt = r;
+        while (rt > 0 && qr[rt - 1] <= qc) rt--;
+        if (rt < r) {
+            std::memmove(&r2s[rt + 1], &r2s[rt], r - rt);
+            std::memmove(&qr[rt + 1], &qr[rt], (r - rt) * sizeof(i32));
         }
-        r2s[r] = c;
+        r2s[rt] = c;
+        qr[rt] = qc;
     }
     *outLen = count;
     return 0;
