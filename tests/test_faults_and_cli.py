@@ -219,3 +219,22 @@ def test_writer_close_retry_after_transient_failure():
         w.write(data)
     w.close()
     assert kanzi_tpu.decompress(sink.buf.getvalue()) == data
+
+
+def test_cli_multi_file_worker_pool(tmp_path):
+    """-j 4 over a directory routes through the file worker pool
+    (reference P3: jobs split across concurrent file tasks)."""
+    files = {}
+    for i in range(5):
+        p = tmp_path / f"w{i}.dat"
+        content = (f"file {i} ".encode() * 500) + bytes([i]) * 100
+        p.write_bytes(content)
+        files[str(p)] = content
+    res = _run_cli(["-c", "-i", str(tmp_path), "-l", "1", "-f", "-j", "4",
+                    "-v", "0"])
+    assert res.returncode == 0, res.stderr
+    for p, content in files.items():
+        res = _run_cli(["-d", "-i", p + ".knz", "-o", p + ".out", "-f",
+                        "-j", "4", "-v", "0"])
+        assert res.returncode == 0, res.stderr
+        assert open(p + ".out", "rb").read() == content
