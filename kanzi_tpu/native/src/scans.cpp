@@ -31,6 +31,23 @@ int sbrtForward(const u8* src, i32 count, u8* dst, i64 cap, int mode, i32* outLe
                         // ranks, making this the hot loop of level 5)
     for (int i = 0; i < 256; i++) s2r[i] = r2s[i] = (u8)i;
 
+    if (mode == 1) {
+        // MTF: the walk always reaches rank 0 (every key is a smaller
+        // position index), so it is a pure move-to-front: vectorized find
+        // + one memmove, no rank map
+        for (i32 i = 0; i < count; i++) {
+            u8 c = src[i];
+            u32 r = (u32)((const u8*)std::memchr(r2s, c, 256) - r2s);
+            dst[i] = (u8)r;
+            if (r > 0) {
+                std::memmove(r2s + 1, r2s, r);
+                r2s[0] = c;
+            }
+        }
+        *outLen = count;
+        return 0;
+    }
+
     for (i32 i = 0; i < count; i++) {
         u8 c = src[i];
         u32 r = s2r[c];
@@ -62,6 +79,20 @@ int sbrtInverse(const u8* src, i32 count, u8* dst, i64 cap, int mode, i32* outLe
     i32 p[256] = {0};
     i32 qr[256] = {0};  // keys by rank (see sbrtForward)
     for (int i = 0; i < 256; i++) r2s[i] = (u8)i;
+
+    if (mode == 1) {  // pure MTF (see sbrtForward)
+        for (i32 i = 0; i < count; i++) {
+            u32 r = src[i];
+            u8 c = r2s[r];
+            dst[i] = c;
+            if (r > 0) {
+                std::memmove(r2s + 1, r2s, r);
+                r2s[0] = c;
+            }
+        }
+        *outLen = count;
+        return 0;
+    }
 
     for (i32 i = 0; i < count; i++) {
         u32 r = src[i];
@@ -147,21 +178,19 @@ int srtForward(const u8* src, i32 count, u8* dst, i64 cap, i32* outLen) {
     }
     u8* out = dst + headerSize;
 
+    // the rank update is an unconditional move-to-front: find the symbol's
+    // rank with a vectorized scan and shift with one memmove — no
+    // symbol->rank map to maintain (the naive walk is O(rank) dependent
+    // loads/stores and dominates on post-BWT data)
+    (void)s2r;
     for (i32 i = 0; i < count;) {
         u8 c = src[i];
-        u32 r = s2r[c];
+        u32 r = (u32)((const u8*)std::memchr(r2s, c, 256) - r2s);
         i32 pp = buckets[c];
         out[pp++] = (u8)r;
         if (r > 0) {
-            for (;;) {
-                u8 t = r2s[r - 1];
-                r2s[r] = t;
-                s2r[t] = (u8)r;
-                if (r == 1) break;
-                r--;
-            }
+            std::memmove(r2s + 1, r2s, r);
             r2s[0] = c;
-            s2r[c] = 0;
         }
         i++;
         while (i < count && src[i] == c) {
@@ -226,11 +255,7 @@ int srtInverse(const u8* src, i32 count, u8* dst, i64 cap, i32* outLen) {
             u8 r = in[buckets[c]];
             buckets[c]++;
             if (r == 0) continue;
-            int s = 0;
-            while (s < (int)r) {
-                r2s[s] = r2s[s + 1];
-                s++;
-            }
+            std::memmove(r2s, r2s + 1, r);  // shift ranks 1..r down by one
             r2s[r] = c;
             c = r2s[0];
         } else {
