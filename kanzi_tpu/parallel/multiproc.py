@@ -49,6 +49,7 @@ def compress_multiproc(data, transform: str = "NONE", entropy: str = "NONE",
                        checksum: int = 0, ctx: dict | None = None) -> bytes:
     """Compress `data` with `procs` worker processes; output is byte-identical
     to the single-process Writer (asserted in tests)."""
+    import multiprocessing as mp
     from concurrent.futures import ProcessPoolExecutor
     from multiprocessing import shared_memory
 
@@ -84,7 +85,10 @@ def compress_multiproc(data, transform: str = "NONE", entropy: str = "NONE",
             spans.append((shm.name, n, start, end, block_size,
                           w.transform_type, w.entropy_type, w.checksum_bits,
                           dict(w.ctx)))
-        with ProcessPoolExecutor(max_workers=len(spans)) as pool:
+        # spawn: fork in a multi-threaded parent (JAX/thread pools) can
+        # deadlock in the children; workers only need numpy + the native lib
+        with ProcessPoolExecutor(max_workers=len(spans),
+                                 mp_context=mp.get_context("spawn")) as pool:
             results = list(pool.map(_encode_span, spans))
         # ordered splice — the degenerate form of the reference's
         # processedBlockID protocol (each span is already in block order)
