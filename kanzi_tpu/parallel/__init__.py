@@ -19,6 +19,12 @@ from ..ops import huffman as ops_huffman
 from ..ops import histogram as ops_histogram
 
 
+def compress_multiproc(*args, **kwargs):
+    """Multi-process block compression (see parallel.multiproc)."""
+    from .multiproc import compress_multiproc as _impl
+    return _impl(*args, **kwargs)
+
+
 def device_mesh(n_devices: int | None = None) -> Mesh:
     """1-D mesh over the 'blocks' axis."""
     devs = jax.devices()
