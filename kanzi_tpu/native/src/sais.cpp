@@ -103,7 +103,9 @@ void saisCore(const ST* st, i32* SA, i32 n, i32 K, std::vector<i32>& counts,
 
     // Name LMS substrings in SA[m..] (ceil(n/2) slots suffice); two LMS
     // substrings get the same name iff symbols AND types match throughout,
-    // which is exactly st-element equality.
+    // which is exactly st-element equality. (A length-precompute + memcmp
+    // variant was measured slower here: the cost is the random access to
+    // the two substrings, not the per-element walk.)
     i32* names = SA + m;
     std::fill(names, SA + n, -1);
     i32 name = 0, prev = -1;
@@ -149,9 +151,9 @@ void saisCore(const ST* st, i32* SA, i32 n, i32 K, std::vector<i32>& counts,
                          (s1[i] == s1[i + 1] && (st1[i + 1] & 1));
             st1[i] = ((u32)s1[i] << 1) | (sType ? 1 : 0);
         }
+        std::vector<i32> saved(counts.begin(), counts.begin() + K);
         saisCore<u32>(st1.data(), SA1.data(), m, name, counts, buckets);
-        counts.assign(K, 0);  // restore level-local histogram
-        for (i32 i = 0; i < n; i++) counts[st[i] >> 1]++;
+        counts.assign(saved.begin(), saved.end());  // restore (K ints, not an n-pass)
     } else {
         for (i32 i = 0; i < m; i++) SA1[s1[i]] = i;
     }
