@@ -141,14 +141,13 @@ static int srtPreprocess(const i32* freqs, u8* symbols) {
 
 int srtForward(const u8* src, i32 count, u8* dst, i64 cap, i32* outLen) {
     if (cap < (i64)count + 4 * 256) return 1;
-    u8 s2r[256], r2s[256];
+    u8 r2s[256];
     i32 freqs[256] = {0};
 
     for (i32 i = 0, b = 0; i < count;) {
         u8 c = src[i];
         if (freqs[c] == 0) {
             r2s[b] = c;
-            s2r[c] = (u8)b;
             b++;
         }
         i32 j = i + 1;
@@ -182,7 +181,6 @@ int srtForward(const u8* src, i32 count, u8* dst, i64 cap, i32* outLen) {
     // rank with a vectorized scan and shift with one memmove — no
     // symbol->rank map to maintain (the naive walk is O(rank) dependent
     // loads/stores and dominates on post-BWT data)
-    (void)s2r;
     for (i32 i = 0; i < count;) {
         u8 c = src[i];
         u32 r = (u32)((const u8*)std::memchr(r2s, c, 256) - r2s);
