@@ -183,7 +183,7 @@ int srtForward(const u8* src, i32 count, u8* dst, i64 cap, i32* outLen) {
     // loads/stores and dominates on post-BWT data)
     for (i32 i = 0; i < count;) {
         u8 c = src[i];
-        u32 r = (u32)((const u8*)std::memchr(r2s, c, 256) - r2s);
+        u32 r = (u32)((const u8*)std::memchr(r2s, c, (size_t)nbSymbols) - r2s);
         i32 pp = buckets[c];
         out[pp++] = (u8)r;
         if (r > 0) {
