@@ -16,7 +16,7 @@ from .. import (LEVEL_PRESETS, DEFAULT_BLOCK_SIZE, Reader, Writer, KanziError,
                 block_size_for_level)
 from ..core import (ERR_INVALID_PARAM, ERR_MISSING_PARAM, ERR_OPEN_FILE,
                     ERR_OVERWRITE_FILE, ERR_CREATE_FILE, ERR_PROCESS_BLOCK,
-                    EventType)
+                    ERR_INVALID_FILE, EventType)
 from .infoprinter import InfoPrinter
 
 _APP_HEADER = "kanzi_tpu 0.1.0 (C) 2026"
@@ -335,10 +335,13 @@ def _decompress_one(a: _Args, in_path: str, out_path: str, listener) -> int:
     if out_path not in ("STDOUT", "NONE"):
         fout.close()
     dt = time.time() - start
-    if r.outputSize and ndec != r.outputSize:
+    # A --from/--to partial decode is expected to be smaller than the header's
+    # outputSize: skip the size check then (ref: v2/app/BlockDecompressor.go:716-728).
+    if (r.outputSize and ndec != r.outputSize
+            and a.block_from is None and a.block_to is None):
         print(f"Corrupted bitstream: invalid output size (expected "
               f"{r.outputSize}, got {ndec})", file=sys.stderr)
-        return ERR_PROCESS_BLOCK
+        return ERR_INVALID_FILE
     if listener:
         listener.process_event(Event(EventType.DECOMPRESSION_END, -1,
                                      ndec, time_=time.time()))

@@ -555,11 +555,13 @@ class Writer:
                 self._stream[0] = self._stream[nbytes]
                 self._bitpos &= 7
             return
+        # Drain incrementally: pop each chunk only after its write succeeded,
+        # so a retried close() after a transient sink failure resumes at the
+        # first unwritten chunk instead of duplicating already-flushed bytes.
         data = self._bw._chunks
-        if data:
-            for chunk in data:
-                self._os.write(chunk)
-            data.clear()
+        while data:
+            self._os.write(data[0])
+            data.pop(0)
 
     def close(self) -> None:
         """Close the stream. Retryable after a transient sink failure

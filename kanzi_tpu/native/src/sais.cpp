@@ -154,6 +154,7 @@ void saisCore(const ST* st, i32* SA, i32 n, i32 K, std::vector<i32>& counts,
         std::vector<i32> saved(counts.begin(), counts.begin() + K);
         saisCore<u32>(st1.data(), SA1.data(), m, name, counts, buckets);
         counts.assign(saved.begin(), saved.end());  // restore (K ints, not an n-pass)
+        buckets.resize(K);  // recursion shrank it to `name`; capacity is still >= K
     } else {
         for (i32 i = 0; i < m; i++) SA1[s1[i]] = i;
     }
