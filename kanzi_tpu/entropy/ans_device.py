@@ -1,0 +1,109 @@
+"""Device-engine rANS encoder (ANS0/ANS1).
+
+Heterogeneous pipeline mirroring the Huffman device engine: the host (C++)
+normalizes per-chunk frequencies and emits table headers (kz_ans_prepare);
+the TPU runs the 4-state reverse-order encode scan for all chunks in one
+batched kernel (kanzi_tpu.ops.ans.encode_chunks); the host splices headers,
+varint sizes, final states, renorm pair streams and raw tails into the final
+payload (kz_ans_assemble). Output is byte-identical to the host C++ encoder
+(asserted in tests).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import native
+from ..ops import ans as ops_ans
+
+
+def _build_batch(post: np.ndarray, order: int, flags: np.ndarray):
+    """Symbol matrices for all device chunks, padded to a common G."""
+    chunk = native.ANS1_CHUNK if order == 1 else native.ANS0_CHUNK
+    mats = []
+    for c in range(len(flags)):
+        if flags[c] != 0:
+            mats.append(None)
+            continue
+        piece = post[c * chunk:(c + 1) * chunk]
+        mats.append(ops_ans.build_syms_order1(piece) if order == 1
+                    else ops_ans.build_syms_order0(piece))
+    rows = [m for m in mats if m is not None]
+    if not rows:
+        return None, None, []
+    gmax = max((len(m) for m in rows), default=0)
+    if gmax == 0:
+        return None, None, [i for i, m in enumerate(mats) if m is not None]
+    dev_chunks = [i for i, m in enumerate(mats) if m is not None]
+    syms = np.zeros((len(dev_chunks), gmax, 4), dtype=np.int32)
+    ngroups = np.zeros(len(dev_chunks), dtype=np.int32)
+    for row, c in enumerate(dev_chunks):
+        m = mats[c]
+        syms[row, :len(m)] = m
+        ngroups[row] = len(m)
+    return syms, ngroups, dev_chunks
+
+
+class DeviceANSEngine:
+    """dispatch()/collect() pair with async device overlap (same contract as
+    DeviceHuffmanEngine): dispatch launches the batched encode scan without
+    blocking; collect materializes pairs/states and splices in C++."""
+
+    def __init__(self, order: int):
+        import jax
+        self.order = order
+        self._encode = jax.jit(ops_ans.encode_chunks)
+
+    def dispatch(self, post: np.ndarray):
+        n = len(post)
+        if n <= 32:   # raw small-block path stays on host
+            return (post, None, None, None, None, None)
+        tables, hdr, hdr_bits, flags = native.ans_prepare(post, self.order)
+        syms, ngroups, dev_chunks = _build_batch(post, self.order, flags)
+        if syms is not None:
+            out = self._encode(syms, ngroups, tables[dev_chunks])
+        else:
+            out = None
+        return (post, hdr, hdr_bits, flags, dev_chunks, out)
+
+    def collect(self, handle, dst: np.ndarray, dst_off: int) -> int:
+        post, hdr, hdr_bits, flags, dev_chunks, out = handle
+        if hdr is None:   # raw small block
+            nb = len(post)
+            dst[dst_off:dst_off + nb] = post
+            return 8 * nb
+        nchunks = len(flags)
+        pair_counts = np.zeros(nchunks, dtype=np.int32)
+        states = np.full((nchunks, 4), ops_ans.ANS_TOP, dtype=np.int32)
+        if out is not None:
+            pairs_d, npairs_d, states_d = out
+            pairs_h = np.ascontiguousarray(np.asarray(pairs_d))
+            npairs_h = np.asarray(npairs_d)
+            states_h = np.asarray(states_d)
+            maxp = int(npairs_h.max()) if npairs_h.size else 0
+            pair_bytes = np.ascontiguousarray(
+                pairs_h[:, :maxp].astype(">u2")).view(np.uint8)
+            rows = {c: r for r, c in enumerate(dev_chunks)}
+        else:
+            pair_bytes = np.zeros((nchunks, 2), dtype=np.uint8)
+            rows = {}
+        full_pairs = np.zeros((nchunks, pair_bytes.shape[1]), dtype=np.uint8)
+        for c in range(nchunks):
+            r = rows.get(c)
+            if r is not None:
+                full_pairs[c] = pair_bytes[r]
+                pair_counts[c] = npairs_h[r]
+                states[c] = states_h[r].astype(np.int32)
+        return native.ans_assemble(post, self.order, hdr, hdr_bits, flags,
+                                   full_pairs, pair_counts, states,
+                                   dst, dst_off)
+
+
+def ans_encode_device(buf, order: int) -> tuple[bytes, int]:
+    """Encode one block with the device pipeline. Returns (payload, bits)."""
+    src = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    eng = DeviceANSEngine(order)
+    handle = eng.dispatch(src)
+    dst = np.zeros(2 * len(src) + (1 << 18), dtype=np.uint8)
+    bits = eng.collect(handle, dst, 0)
+    return dst[:(bits + 7) // 8].tobytes(), bits

@@ -290,11 +290,16 @@ class Writer:
         self._dev_engine = None
         self._dev_posts: list = []
         self._slot_scratch: list = []  # per-block scratch for parallel encode
-        if (self.ctx.get("useDevice") and self._use_native
-                and self.entropy_type == entropy_mod.HUFFMAN_TYPE):
+        if self.ctx.get("useDevice") and self._use_native:
             try:
-                from ..entropy.huffman_device import DeviceHuffmanEngine
-                self._dev_engine = DeviceHuffmanEngine()
+                if self.entropy_type == entropy_mod.HUFFMAN_TYPE:
+                    from ..entropy.huffman_device import DeviceHuffmanEngine
+                    self._dev_engine = DeviceHuffmanEngine()
+                elif self.entropy_type in (entropy_mod.ANS0_TYPE,
+                                           entropy_mod.ANS1_TYPE):
+                    from ..entropy.ans_device import DeviceANSEngine
+                    self._dev_engine = DeviceANSEngine(
+                        0 if self.entropy_type == entropy_mod.ANS0_TYPE else 1)
             except Exception:
                 self._dev_engine = None
 

@@ -99,6 +99,16 @@ def get_lib():
         lib.kz_huffman_prepare.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+        lib.kz_ans_prepare.restype = ctypes.c_int
+        lib.kz_ans_prepare.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+        lib.kz_ans_assemble.restype = ctypes.c_int64
+        lib.kz_ans_assemble.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64]
         lib.kz_block_encode.restype = ctypes.c_int64
         lib.kz_block_encode.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_uint64, ctypes.c_int,
@@ -335,6 +345,54 @@ def huffman_assemble(block: np.ndarray, hdr: np.ndarray, hdr_bits: np.ndarray,
         lane_bits.ctypes.data, dst.ctypes.data + dst_off, len(dst) - dst_off)
     if bits < 0:
         raise RuntimeError(f"huffman assemble failed (err={bits})")
+    return int(bits)
+
+
+ANS0_CHUNK = 16384
+ANS1_CHUNK = 16384 << 8
+ANS_HDR_STRIDE = {0: 1024, 1: 131072}
+
+
+def ans_prepare(data, order: int):
+    """Per-chunk rANS tables + encoded headers for the device pipeline.
+
+    Returns (tables (C, 5, dim*256) int32 [xMax, bias, cmplFreq, invShift,
+    invFreq planes], hdr (C, stride) uint8, hdr_bits (C,) int32,
+    flags (C,) uint8). Caller guarantees len(data) > 32."""
+    lib = get_lib()
+    src = _as_buf(data)
+    n = len(src)
+    chunk = ANS1_CHUNK if order == 1 else ANS0_CHUNK
+    stride = ANS_HDR_STRIDE[order]
+    dim = 256 if order == 1 else 1
+    nchunks = max((n + chunk - 1) // chunk, 1)
+    tables = np.empty((nchunks, 5, dim * 256), dtype=np.int32)
+    hdr = np.empty((nchunks, stride), dtype=np.uint8)
+    hdr_bits = np.empty(nchunks, dtype=np.int32)
+    flags = np.empty(nchunks, dtype=np.uint8)
+    c = lib.kz_ans_prepare(src.ctypes.data, n, order, tables.ctypes.data,
+                           hdr.ctypes.data, stride, hdr_bits.ctypes.data,
+                           flags.ctypes.data)
+    if c < 0:
+        raise RuntimeError(f"ans prepare failed (err={c})")
+    return tables[:c], hdr[:c], hdr_bits[:c], flags[:c]
+
+
+def ans_assemble(block: np.ndarray, order: int, hdr: np.ndarray,
+                 hdr_bits: np.ndarray, flags: np.ndarray,
+                 pair_bytes: np.ndarray, pair_counts: np.ndarray,
+                 states: np.ndarray, dst: np.ndarray, dst_off: int = 0) -> int:
+    """Splice device-encoded rANS chunks into the final entropy payload
+    (byte-identical to the host encoder). Returns the payload bit length."""
+    lib = get_lib()
+    bits = lib.kz_ans_assemble(
+        block.ctypes.data, len(block), order, hdr.ctypes.data, hdr.shape[1],
+        hdr_bits.ctypes.data, flags.ctypes.data,
+        pair_bytes.ctypes.data, pair_bytes.shape[1] if pair_bytes.size else 0,
+        pair_counts.ctypes.data, states.ctypes.data,
+        dst.ctypes.data + dst_off, len(dst) - dst_off)
+    if bits < 0:
+        raise RuntimeError(f"ans assemble failed (err={bits})")
     return int(bits)
 
 

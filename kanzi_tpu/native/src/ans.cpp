@@ -73,6 +73,71 @@ static void histoO1Total(const u8* block, i64 len, i32* freqs) {
     }
 }
 
+// one chunk's stats + header: normalize per context, reset symbol tables,
+// emit 3-bit logRange + per-context alphabet/frequency header. Shared by the
+// host encoder and the device-engine prepare step. Returns total alphabet
+// size across contexts.
+static void ansEncodeHeaderOne(OBS& obs, const int* alphabet, int alphabetSize,
+                               const i32* frequencies, u32 logRange) {
+    encodeAlphabet(obs, alphabet, alphabetSize);
+    if (alphabetSize <= 1) return;
+    int chkSize = alphabetSize < 64 ? 6 : 8;
+    u32 llr = 3;
+    while ((1u << llr) <= logRange) llr++;
+    for (int i = 1; i < alphabetSize; i += chkSize) {
+        int maxv = frequencies[alphabet[i]] - 1;
+        u32 logMax = 0;
+        int endj = std::min(i + chkSize, alphabetSize);
+        for (int j = i + 1; j < endj; j++)
+            if (frequencies[alphabet[j]] - 1 > maxv) maxv = frequencies[alphabet[j]] - 1;
+        while ((1 << logMax) <= maxv) logMax++;
+        obs.writeBits(logMax, llr);
+        if (logMax == 0) continue;
+        for (int j = i; j < endj; j++)
+            obs.writeBits((u64)(frequencies[alphabet[j]] - 1), logMax);
+    }
+}
+
+static int ansUpdateFrequencies(OBS& obs, i32* freqs, EncSymbol* symbols,
+                                int order, u32 logRange) {
+    int res = 0;
+    int endk = 255 * order + 1;
+    obs.writeBits(logRange - 8, 3);
+    int alphabet[256];
+    for (int k = 0; k < endk; k++) {
+        i32* f = freqs + 257 * (size_t)k;
+        EncSymbol* symb = symbols + ((size_t)k << 8);
+        int alphabetSize = normalizeFrequencies(f, 256, alphabet, f[256], 1 << logRange);
+        if (alphabetSize > 0) {
+            int sum = 0;
+            for (int i = 0, count = 0; i < 256; i++) {
+                if (f[i] == 0) continue;
+                symb[i].reset(sum, f[i], logRange);
+                sum += f[i];
+                count++;
+                if (count >= alphabetSize) break;
+            }
+        }
+        ansEncodeHeaderOne(obs, alphabet, alphabetSize, f, logRange);
+        res += alphabetSize;
+    }
+    return res;
+}
+
+static void ansHistogram(const u8* block, i64 len, i32* freqs, int order) {
+    if (order == 0) {
+        histoO0Total(block, len, freqs);
+    } else {
+        i64 quarter = len >> 2;
+        if (quarter == 0) {
+            histoO1Total(block, len, freqs);
+        } else {
+            for (int q = 0; q < 4; q++)
+                histoO1Total(block + q * quarter, quarter, freqs);
+        }
+    }
+}
+
 class ANSEncoder {
   public:
     // chunkSizeArg <= 0 selects the default (16 KiB; x256 for order 1)
@@ -108,63 +173,9 @@ class ANSEncoder {
   private:
     int rebuildStatistics(const u8* block, i64 len) {
         std::fill(freqs_.begin(), freqs_.end(), 0);
-        if (order_ == 0) {
-            histoO0Total(block, len, freqs_.data());
-        } else {
-            i64 quarter = len >> 2;
-            if (quarter == 0) {
-                histoO1Total(block, len, freqs_.data());
-            } else {
-                for (int q = 0; q < 4; q++)
-                    histoO1Total(block + q * quarter, quarter, freqs_.data());
-            }
-        }
-        return updateFrequencies();
-    }
-
-    int updateFrequencies() {
-        int res = 0;
-        int endk = 255 * order_ + 1;
-        obs_.writeBits(logRange_ - 8, 3);
-        int alphabet[256];
-        for (int k = 0; k < endk; k++) {
-            i32* f = freqs_.data() + 257 * (size_t)k;
-            EncSymbol* symb = symbols_.data() + ((size_t)k << 8);
-            int alphabetSize = normalizeFrequencies(f, 256, alphabet, f[256], 1 << logRange_);
-            if (alphabetSize > 0) {
-                int sum = 0;
-                for (int i = 0, count = 0; i < 256; i++) {
-                    if (f[i] == 0) continue;
-                    symb[i].reset(sum, f[i], logRange_);
-                    sum += f[i];
-                    count++;
-                    if (count >= alphabetSize) break;
-                }
-            }
-            encodeHeader(alphabet, alphabetSize, f);
-            res += alphabetSize;
-        }
-        return res;
-    }
-
-    void encodeHeader(const int* alphabet, int alphabetSize, const i32* frequencies) {
-        encodeAlphabet(obs_, alphabet, alphabetSize);
-        if (alphabetSize <= 1) return;
-        int chkSize = alphabetSize < 64 ? 6 : 8;
-        u32 llr = 3;
-        while ((1u << llr) <= logRange_) llr++;
-        for (int i = 1; i < alphabetSize; i += chkSize) {
-            int maxv = frequencies[alphabet[i]] - 1;
-            u32 logMax = 0;
-            int endj = std::min(i + chkSize, alphabetSize);
-            for (int j = i + 1; j < endj; j++)
-                if (frequencies[alphabet[j]] - 1 > maxv) maxv = frequencies[alphabet[j]] - 1;
-            while ((1 << logMax) <= maxv) logMax++;
-            obs_.writeBits(logMax, llr);
-            if (logMax == 0) continue;
-            for (int j = i; j < endj; j++)
-                obs_.writeBits((u64)(frequencies[alphabet[j]] - 1), logMax);
-        }
+        ansHistogram(block, len, freqs_.data(), order_);
+        return ansUpdateFrequencies(obs_, freqs_.data(), symbols_.data(),
+                                    order_, logRange_);
     }
 
     inline void encodeSymbol(i64& n, int& st, const EncSymbol& sym) {
@@ -431,3 +442,105 @@ void ansDecode(IBS& ibs, u8* block, i64 len, int order, int bsVersion) {
 }
 
 }  // namespace kz
+
+// ---------------------------------------------------------------------------
+// Device-engine split: the host builds per-chunk normalized tables + headers
+// (prepare), the TPU runs the 4-state encode scan (kanzi_tpu/ops/ans.py),
+// and the host splices varint/states/pairs/tails into the payload (assemble)
+// — byte-identical to ANSEncoder::write. Mirrors the Huffman engine split
+// (kz_huffman_prepare / kz_huffman_assemble).
+//
+// tables layout per chunk: 5 planes of dim*256 int32 — xMax, bias, cmplFreq,
+// invShift, invFreq(u32 bits) — where dim = 1 (order 0) or 256 (order 1).
+// flags: 0 = encode on device, 2 = header-only chunk (order-0 single symbol).
+// Caller guarantees len > 32 (the raw small-block path stays on host).
+extern "C" int kz_ans_prepare(const uint8_t* block, int64_t len, int order,
+                              int32_t* tables, uint8_t* hdr, int64_t hdrStride,
+                              int32_t* hdrBits, uint8_t* flags) {
+    try {
+        using namespace kz;
+        int chunkSize = order == 1
+            ? std::min(ANS0_CHUNK_SIZE << 8, ANS_MAX_CHUNK_SIZE)
+            : ANS0_CHUNK_SIZE;
+        u32 logRange = std::max(ANS_DEFAULT_LOG_RANGE - (u32)order, 8u);
+        size_t dim = order == 1 ? 256 : 1;
+        std::vector<i32> freqs(dim * 257);
+        std::vector<EncSymbol> symbols(dim * 256);
+        int c = 0;
+        i64 startChunk = 0;
+        while (startChunk < len) {
+            i64 endChunk = std::min(startChunk + (i64)chunkSize, len);
+            i64 sz = endChunk - startChunk;
+            if (order == 1 && sz > 1 && sz < 4)
+                return -2;  // reference panics here; host path raises instead
+            std::fill(freqs.begin(), freqs.end(), 0);
+            std::memset(symbols.data(), 0, symbols.size() * sizeof(EncSymbol));
+            ansHistogram(block + startChunk, sz, freqs.data(), order);
+            OBS obs(hdr + (size_t)c * hdrStride, hdrStride);
+            int alpha = ansUpdateFrequencies(obs, freqs.data(), symbols.data(),
+                                             order, logRange);
+            hdrBits[c] = (i32)obs.written();
+            obs.close();
+            flags[c] = (order == 1 || alpha > 1) ? 0 : 2;
+            i32* t = tables + (size_t)c * 5 * dim * 256;
+            for (size_t i = 0; i < dim * 256; i++) {
+                t[0 * dim * 256 + i] = symbols[i].xMax;
+                t[1 * dim * 256 + i] = symbols[i].bias;
+                t[2 * dim * 256 + i] = symbols[i].cmplFreq;
+                t[3 * dim * 256 + i] = (i32)symbols[i].invShift;
+                t[4 * dim * 256 + i] = (i32)(u32)symbols[i].invFreq;
+            }
+            startChunk = endChunk;
+            c++;
+        }
+        return c;
+    } catch (const std::exception&) {
+        return -1;
+    }
+}
+
+// Splice the device-encoded rANS pair streams into the final entropy payload
+// (byte-identical to ANSEncoder::write). pairBytes rows hold each chunk's
+// renormalization byte stream already in stream order; states rows hold the
+// four final 32-bit states.
+extern "C" int64_t kz_ans_assemble(const uint8_t* block, int64_t len, int order,
+                                   const uint8_t* hdr, int64_t hdrStride,
+                                   const int32_t* hdrBits, const uint8_t* flags,
+                                   const uint8_t* pairBytes, int64_t pairStride,
+                                   const int32_t* pairCounts,
+                                   const int32_t* states,
+                                   uint8_t* dst, int64_t cap) {
+    try {
+        using namespace kz;
+        int chunkSize = order == 1
+            ? std::min(ANS0_CHUNK_SIZE << 8, ANS_MAX_CHUNK_SIZE)
+            : ANS0_CHUNK_SIZE;
+        OBS obs(dst, cap);
+        i64 startChunk = 0;
+        int c = 0;
+        while (startChunk < len) {
+            i64 endChunk = std::min(startChunk + (i64)chunkSize, len);
+            i64 sz = endChunk - startChunk;
+            obs.writeArray(hdr + (size_t)c * hdrStride, (u64)hdrBits[c]);
+            if (flags[c] != 2) {
+                i64 tail = sz & 3;
+                i64 npairs = pairCounts[c];
+                writeVarInt(obs, (u32)(2 * npairs + tail));
+                for (int j = 0; j < 4; j++)
+                    obs.writeBits((u64)(u32)states[4 * c + j], 32);
+                if (npairs)
+                    obs.writeArray(pairBytes + (size_t)c * pairStride,
+                                   16 * (u64)npairs);
+                for (i64 i = endChunk - tail; i < endChunk; i++)
+                    obs.writeBits(block[i], 8);
+            }
+            startChunk = endChunk;
+            c++;
+        }
+        u64 bits = obs.written();
+        obs.close();
+        return (int64_t)bits;
+    } catch (const std::exception&) {
+        return -1;
+    }
+}

@@ -395,9 +395,12 @@ class TPAQPredictor {
             p = mixer_->get(p0, p1, p2, p3, p4, p5, p6, p7);
             if (binCount_ < (pos_ >> 3)) {
                 p = sse1_->get(bit, p, (int)(ctx0_ + c));
-            } else if (binCount_ >= (pos_ >> 2)) {
-                p = (3 * sse0_->get(bit, p, (int)c0_) + p) >> 2;
             } else {
+                // In the reference the sse1 refinement applies to BOTH
+                // sub-cases here; only the sse0 stage is gated on
+                // binCount >= pos>>2 (v2/entropy/TPAQPredictor.go:489-497).
+                if (binCount_ >= (pos_ >> 2))
+                    p = (3 * sse0_->get(bit, p, (int)c0_) + p) >> 2;
                 p = (3 * sse1_->get(bit, p, (int)(ctx0_ + c)) + p) >> 2;
             }
         }

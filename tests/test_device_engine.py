@@ -67,3 +67,26 @@ def test_device_engine_small_and_copy_blocks():
         w2.write(data)
         w2.close()
         assert blob == w2.getvalue()
+
+
+@pytest.mark.parametrize("entropy,transform,block_size", [
+    ("ANS0", "NONE", 1 << 18),
+    ("ANS0", "TEXT+UTF+BWT+RANK+ZRLT", 1 << 18),   # level-5 chain
+    ("ANS1", "NONE", 1 << 18),
+    ("ANS1", "DNA+LZ", 1 << 20),
+])
+def test_device_ans_engine_stream_identity(entropy, transform, block_size):
+    if not native.available():
+        pytest.skip("native library unavailable")
+    data = _mixed_corpus(2 * block_size + 7777)
+    host = kanzi_tpu.compress(data, transform=transform, entropy=entropy,
+                              block_size=block_size, checksum=32)
+    w = Writer(None, transform=transform, entropy=entropy,
+               block_size=block_size, checksum=32, file_size=len(data),
+               ctx={"useDevice": True})
+    assert w._dev_engine is not None
+    w.write(data)
+    w.close()
+    dev = w.getvalue()
+    assert dev == host
+    assert kanzi_tpu.decompress(dev) == data

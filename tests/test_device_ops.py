@@ -68,3 +68,14 @@ def test_sharded_pack_matches_single_device():
     w2, n2 = oh.pack_lanes(syms, lane_len, tidx, tables)
     np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
     np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+
+
+def test_device_ans_matches_host():
+    from kanzi_tpu.entropy.ans_device import ans_encode_device
+    for order, et in ((0, 5), (1, 8)):
+        for name, data in _cases().items():
+            host, hbits = native.entropy_encode(
+                et, np.frombuffer(data, np.uint8), {"bsVersion": 6})
+            dev, dbits = ans_encode_device(data, order)
+            assert dbits == hbits, f"ANS{order} {name}: bit count mismatch"
+            assert dev == host, f"ANS{order} {name}: payload mismatch"

@@ -17,6 +17,7 @@ identically, in two languages, to pass this file.
 
 import random
 
+import numpy as np
 import pytest
 
 import kanzi_tpu
@@ -214,6 +215,120 @@ def test_ans_bytes_match_spec(order, name, data):
     etype = ke.ANS0_TYPE if order == 0 else ke.ANS1_TYPE
     got_bytes, got_bits = ke.encode(etype, data, {})
     assert (got_bits, bytes(got_bytes)) == (spec_bits, spec_bytes), name
+
+
+def test_range_bytes_match_spec():
+    from specmodel.range_codec import range_encode
+    for name, data in _cases():
+        spec_bytes, spec_bits = range_encode(data)
+        got_bytes, got_bits = ke.encode(ke.RANGE_TYPE, data, {})
+        assert (got_bits, bytes(got_bytes)) == (spec_bits, spec_bytes), name
+
+
+def test_fpaq_bytes_match_spec():
+    from specmodel.fpaq import fpaq_encode
+    for name, data in _cases():
+        spec_bytes, spec_bits = fpaq_encode(data)
+        got_bytes, got_bits = ke.encode(ke.FPAQ_TYPE, data, {})
+        assert (got_bits, bytes(got_bytes)) == (spec_bits, spec_bytes), name
+
+
+def test_cm_bytes_match_spec():
+    from specmodel.binary_cm import binary_encode, SpecCMPredictor
+    for name, data in _cases():
+        spec_bytes, spec_bits = binary_encode(data, SpecCMPredictor())
+        got_bytes, got_bits = ke.encode(ke.CM_TYPE, data, {})
+        assert (got_bits, bytes(got_bytes)) == (spec_bits, spec_bytes), name
+
+
+@pytest.mark.parametrize("extra", [False, True])
+def test_tpaq_bytes_match_spec(extra):
+    """The full TPAQ/TPAQX predictor chain: FSM bit histories, NN mixer,
+    match model, APM/SSE stages. The 'binaryish' case exercises the
+    binCount >= pos>>2 SSE branch where round 1's C++ diverged from the
+    reference (sse1 must apply in BOTH sub-branches)."""
+    from specmodel.binary_cm import binary_encode
+    from specmodel.tpaq import SpecTPAQPredictor
+    rng = random.Random(42)
+    cases = {
+        "sixteen": bytes(range(16)),
+        "text": b"she sells sea shells by the sea shore " * 250,
+        "binaryish": bytes(rng.randrange(256) for _ in range(16000)),
+        "narrow": bytes(rng.randrange(4) for _ in range(24000)),
+        "match-heavy": b"0123456789ABCDEF" * 800,
+    }
+    etype = ke.TPAQX_TYPE if extra else ke.TPAQ_TYPE
+    for name, data in cases.items():
+        ctx = {"blockSize": 65536, "size": len(data)}
+        pred = SpecTPAQPredictor(block_size=65536, size=len(data), extra=extra)
+        spec_bytes, spec_bits = binary_encode(data, pred)
+        got_bytes, got_bits = ke.encode(etype, data, ctx)
+        assert (got_bits, bytes(got_bytes)) == (spec_bits, spec_bytes), name
+
+
+@pytest.mark.parametrize("variant", [3, 16])  # LZ / LZX
+def test_lzx_sections_match_spec(variant):
+    """The 4-section LZX layout, token stream, rep-distances and escaped
+    lengths (v2/transform/LZCodec.go:193-608)."""
+    from specmodel.lzx import lzx_forward, LZXSkip
+    from kanzi_tpu.transforms.lz import LZCodec
+    from kanzi_tpu.transforms.base import TransformSkip
+    rng = random.Random(17)
+    words = [bytes(rng.randrange(97, 122) for _ in range(rng.randrange(3, 9)))
+             for _ in range(40)]
+    cases = {
+        "crafted": (b"abcdefgh" * 10 + b"XYZT" + b"abcdefgh" * 5 +
+                    b"0123456789" * 30 + b"abcdefgh" * 12),
+        "words": b" ".join(rng.choice(words) for _ in range(4000)),
+        "longrun": b"A" * 70000 + b"B" * 3 + b"A" * 500,
+        "survey": open("/root/repo/SURVEY.md", "rb").read()[:60000],
+        "fardist": (b"Q" * 5 + bytes(rng.randrange(256) for _ in range(70000))
+                    + b"kanzi-spec-far-match-pattern" * 4
+                    + bytes(rng.randrange(256) for _ in range(200))
+                    + b"kanzi-spec-far-match-pattern" * 4),
+        "incompressible": bytes(rng.randrange(256) for _ in range(5000)),
+        "tiny": b"too small block!!!",
+    }
+    for name, data in cases.items():
+        try:
+            expected = lzx_forward(data, extra=(variant == 16))
+        except LZXSkip:
+            expected = None
+        codec = LZCodec({"lz": variant})
+        try:
+            got = bytes(codec.forward(np.frombuffer(data, np.uint8)))
+        except TransformSkip:
+            got = None
+        assert got == expected, name
+
+
+def test_lzx_hand_vector():
+    """Fully hand-worked LZX stream (v2/transform/LZCodec.go:427-584).
+
+    Input = 'ABCDEFGH'x30 + 16 tail bytes, 256 bytes. srcEnd = 238.
+    Hash refs at position 0 are unusable (ref > minRef=0 fails), so the
+    first match lands at srcIdx=9 vs ref=1 (bestLen from findMatch's 8-wide
+    steps: 224 of maxMatch 229). The +1 probe (srcIdx=10 vs ref=2, 224 >=
+    224) wins the tie, then backward extension walks to srcIdx=8/ref=0,
+    bestLen=226. dist=8, mLen=226-4=222 -> escaped (222-7=215); litLen=8 ->
+    escaped (8-7=1); anchor=234, last literals = 22 -> escaped (15).
+    Sections: literals = [1]+'ABCDEFGH'+[15]+src[234:], tokens =
+    [(7<<5)|0x08|7, 7<<5], dists = [8], mlens = [215].
+    """
+    from specmodel.lzx import lzx_forward
+    from kanzi_tpu.transforms.lz import LZCodec
+    data = b"ABCDEFGH" * 30 + b"0123456789abcdef"
+    expected = (b"\x2d\x00\x00\x00"     # litEnd = 13+9+23 = 45
+                b"\x02\x00\x00\x00"     # 2 tokens
+                b"\x01\x00\x00\x00"     # 1 distance byte
+                b"\x04"                 # flags: maxDist1, minMatch 4
+                b"\x01" + b"ABCDEFGH" + b"\x0f" + data[234:] +
+                bytes([(7 << 5) | 0x08 | 7, 7 << 5]) +
+                b"\x08" +               # distance
+                bytes([215]))           # escaped match length
+    assert lzx_forward(data) == expected
+    got = bytes(LZCodec({"lz": 3}).forward(np.frombuffer(data, np.uint8)))
+    assert got == expected
 
 
 @pytest.mark.slow
