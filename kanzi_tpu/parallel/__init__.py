@@ -81,29 +81,141 @@ def compress_step(mesh: Mesh):
     ))
 
 
-def dryrun_multichip(n_devices: int) -> None:
-    """Compile + execute the full sharded compress step on tiny shapes.
+def shard_ans_encode(mesh: Mesh):
+    """Returns a jitted device-rANS encode sharded over the mesh: chunk rows
+    (the batch axis) shard across chips; each chunk's scan is chip-local, so
+    XLA partitions with zero communication."""
+    from ..ops import ans as ops_ans
+    row = NamedSharding(mesh, P("blocks"))
+    row2 = NamedSharding(mesh, P("blocks", None))
+    row3 = NamedSharding(mesh, P("blocks", None, None))
+    return jax.jit(
+        ops_ans.encode_chunks,
+        in_shardings=(row3, row, row3),
+        out_shardings=(row2, row, row2),
+    )
 
-    Used by the driver (and tests) with
-    XLA_FLAGS=--xla_force_host_platform_device_count=N to validate the
-    multi-chip path without N real chips.
+
+def _pad_rows(arr: np.ndarray, pad: int) -> np.ndarray:
+    if pad == 0:
+        return arr
+    return np.concatenate(
+        [arr, np.zeros((pad,) + arr.shape[1:], dtype=arr.dtype)])
+
+
+def mesh_writer(mesh: Mesh, **writer_kwargs):
+    """A Writer whose device entropy engine runs sharded over `mesh`.
+
+    Every dispatched block's lane/chunk batch spreads across the mesh's
+    'blocks' axis (padded to the device count); tables replicate; results
+    gather to host for the ordered frame splice — the device-mesh analogue
+    of the reference's P1 block parallelism + P2 ordered append.
     """
+    from ..kio import Writer
+
+    ctx = dict(writer_kwargs.pop("ctx", {}) or {})
+    ctx["useDevice"] = True
+    w = Writer(None, ctx=ctx, **writer_kwargs)
+    eng = w._dev_engine
+    if eng is None:
+        raise RuntimeError("device engine unavailable for this entropy type")
+    n_dev = int(mesh.devices.size)
+
+    if hasattr(eng, "_pack"):       # Huffman: lanes shard
+        mesh_pack = shard_pack_lanes(mesh)
+
+        def padded_pack(syms, lane_len, table_idx, tables):
+            L = len(syms)
+            pad = (-L) % n_dev
+            words, nbits = mesh_pack(
+                _pad_rows(np.ascontiguousarray(syms), pad),
+                _pad_rows(np.ascontiguousarray(lane_len), pad),
+                _pad_rows(np.ascontiguousarray(table_idx), pad), tables)
+            return words[:L], nbits[:L]
+
+        eng._pack = padded_pack
+    else:                           # ANS: chunk rows shard
+        mesh_enc = shard_ans_encode(mesh)
+
+        def padded_encode(syms, ngroups, tables):
+            B = len(syms)
+            pad = (-B) % n_dev
+            pairs, npairs, states = mesh_enc(
+                _pad_rows(syms, pad), _pad_rows(ngroups, pad),
+                _pad_rows(tables, pad))
+            return pairs[:B], npairs[:B], states[:B]
+
+        eng._encode = padded_encode
+    return w
+
+
+def compress_multichip(data, mesh: Mesh, transform: str = "LZ",
+                       entropy: str = "HUFFMAN",
+                       block_size: int = 1 << 20, checksum: int = 0) -> bytes:
+    """End-to-end multi-chip compression of real data: host transforms +
+    per-chunk tables, mesh-sharded entropy kernels, ordered frame splice.
+    The output is byte-identical to the single-host stream (tested)."""
+    w = mesh_writer(mesh, transform=transform, entropy=entropy,
+                    block_size=block_size, checksum=checksum,
+                    file_size=len(data))
+    w.write(data)
+    w.close()
+    return w.getvalue()
+
+
+def _dryrun_corpus(n: int) -> bytes:
+    rng = np.random.default_rng(7)
+    text = (b"multi chip dry run: the quick brown fox jumps over the lazy "
+            b"dog 0123456789 " * 64)
+    parts = []
+    while sum(map(len, parts)) < n:
+        parts.append(text)
+        parts.append(rng.integers(0, 256, 8192, dtype=np.uint8).tobytes())
+        parts.append(rng.integers(0, 8, 16384, dtype=np.uint8).tobytes())
+        parts.append(bytes(4096))
+    return b"".join(parts)[:n]
+
+
+def dryrun_multichip(n_devices: int) -> None:
+    """Compile + execute the REAL multi-chip compression path.
+
+    Compresses a multi-block mixed corpus through the mesh-sharded device
+    entropy engines (real per-chunk tables, real frames, real end marker)
+    for both the Huffman and rANS kernels, and asserts the streams are
+    byte-identical to the single-host C++ streams and decompress to the
+    input. Used by the driver with
+    XLA_FLAGS=--xla_force_host_platform_device_count=N to validate the
+    multi-chip path without N real chips; also keeps the shard_map
+    compress-step smoke test for the collective plumbing.
+    """
+    import kanzi_tpu
+
     mesh = device_mesh(n_devices)
-    B = n_devices * 2            # 2 blocks per device
-    N = 1024                     # tiny blocks
+    corpus = _dryrun_corpus(max(n_devices, 4) * (1 << 18) + 12345)
+    for transform, entropy in (("LZ", "HUFFMAN"), ("NONE", "ANS0")):
+        blob = compress_multichip(corpus, mesh, transform=transform,
+                                  entropy=entropy, block_size=1 << 18,
+                                  checksum=32)
+        host = kanzi_tpu.compress(corpus, transform=transform,
+                                  entropy=entropy, block_size=1 << 18,
+                                  checksum=32)
+        assert blob == host, f"{transform}&{entropy}: mesh stream != host"
+        assert kanzi_tpu.decompress(blob) == corpus
+
+    # collective plumbing smoke (psum over the mesh)
+    B = n_devices * 2
+    N = 1024
     rng = np.random.default_rng(0)
     blocks = rng.integers(0, 64, (B, N), dtype=np.uint8)
     L = 4 * B
-    frag = 256  # tiny lanes: the kernel is shape-polymorphic
+    frag = 256
     syms = np.zeros((L, frag), dtype=np.int32)
     syms[:, :N // 4] = blocks.repeat(4, axis=0)[:, : N // 4]
     lane_len = np.full(L, N // 4, dtype=np.int32)
     table_idx = np.arange(L, dtype=np.int32) // 4 % 2
     tables = np.full((2, 256), (8 << 12) | 0x55, dtype=np.int32)
-
     fn = compress_step(mesh)
     histos, ent, words, nbits, total = fn(blocks, syms, lane_len, table_idx,
                                           tables)
     jax.block_until_ready((histos, ent, words, nbits, total))
-    assert histos.shape == (B, 256)
     assert int(total) == int(np.sum(np.asarray(nbits)))
