@@ -100,6 +100,46 @@ class DeviceHuffmanEngine:
                                        lane_bytes, nbits, dst, dst_off)
 
 
+def huffman_decode_device(payload, out_len: int) -> bytes:
+    """Decode a Huffman entropy payload with the device pipeline: the host
+    parses chunk headers and builds the 4096-entry decode tables
+    (kz_huffman_dec_prepare); the TPU runs the table-driven symbol decode
+    for all lanes in one batched kernel (ops.huffman.decode_lanes); the host
+    reassembles fragments/tails. Byte-identical to the host decoder."""
+    from ..ops import huffman as ops_huffman
+
+    if out_len == 0:
+        return b""
+    src = np.frombuffer(payload, dtype=np.uint8) \
+        if not isinstance(payload, np.ndarray) else payload
+    dtables, lanes, lane_bits, flags, aux = native.huffman_dec_prepare(
+        src, out_len)
+    if len(lanes):
+        dev_chunks = np.nonzero(flags == 0)[0].astype(np.int32)
+        table_idx = np.repeat(dev_chunks, 4)
+        syms = np.asarray(ops_huffman.decode_lanes(lanes, table_idx, dtables))
+    else:
+        syms = None
+    out = np.empty(out_len, dtype=np.uint8)
+    lane = 0
+    for c in range(len(flags)):
+        start = c * _CHUNK
+        size = min(_CHUNK, out_len - start)
+        if flags[c] == 1:          # raw small chunk
+            out[start:start + size] = aux[c, :size]
+        elif flags[c] == 2:        # single symbol
+            out[start:start + size] = aux[c, 0]
+        else:
+            frag = size // 4
+            out[start:start + 4 * frag] = \
+                syms[lane:lane + 4, :frag].reshape(-1)
+            tail = size & 3
+            if tail:
+                out[start + 4 * frag:start + size] = aux[c, :tail]
+            lane += 4
+    return out.tobytes()
+
+
 def huffman_encode_device(buf, jit_fn=None) -> tuple[bytes, int]:
     """Encode a block with the device pipeline. Returns (payload, bits)."""
     from ..ops import huffman as ops_huffman

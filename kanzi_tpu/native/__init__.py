@@ -99,6 +99,11 @@ def get_lib():
         lib.kz_huffman_prepare.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+        lib.kz_huffman_dec_prepare.restype = ctypes.c_int
+        lib.kz_huffman_dec_prepare.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64]
         lib.kz_ans_prepare.restype = ctypes.c_int
         lib.kz_ans_prepare.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
@@ -346,6 +351,35 @@ def huffman_assemble(block: np.ndarray, hdr: np.ndarray, hdr_bits: np.ndarray,
     if bits < 0:
         raise RuntimeError(f"huffman assemble failed (err={bits})")
     return int(bits)
+
+
+HUF_LANE_STRIDE = 6160   # > FRAG*12/8 + refill slack
+HUF_AUX_STRIDE = 32
+
+
+def huffman_dec_prepare(payload, out_len: int):
+    """Parse a Huffman entropy payload into device-decodable pieces.
+
+    Returns (dtables (C,4096) uint16, lanes (4*Cn, stride) uint8 zero-padded
+    rows for flag==0 chunks, lane_bits (4*Cn,) int32, flags (C,) uint8,
+    aux (C,32) uint8)."""
+    lib = get_lib()
+    src = _as_buf(payload)
+    nchunks = max((out_len + 16383) // 16384, 1)
+    dtables = np.zeros((nchunks, 4096), dtype=np.uint16)
+    lanes = np.zeros((4 * nchunks, HUF_LANE_STRIDE), dtype=np.uint8)
+    lane_bits = np.zeros(4 * nchunks, dtype=np.int32)
+    flags = np.zeros(nchunks, dtype=np.uint8)
+    aux = np.zeros((nchunks, HUF_AUX_STRIDE), dtype=np.uint8)
+    c = lib.kz_huffman_dec_prepare(src.ctypes.data, len(src), out_len,
+                                   dtables.ctypes.data, lanes.ctypes.data,
+                                   HUF_LANE_STRIDE, lane_bits.ctypes.data,
+                                   flags.ctypes.data, aux.ctypes.data,
+                                   HUF_AUX_STRIDE)
+    if c < 0:
+        raise RuntimeError(f"huffman decode prepare failed (err={c})")
+    nlanes = 4 * int((flags[:c] == 0).sum())
+    return dtables[:c], lanes[:nlanes], lane_bits[:nlanes], flags[:c], aux[:c]
 
 
 ANS0_CHUNK = 16384

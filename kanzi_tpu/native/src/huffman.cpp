@@ -456,7 +456,82 @@ int huffmanPrepare(const u8* block, i64 len, u16* tables, u8* hdr,
     return c;
 }
 
+// Decode-side device split: parse one Huffman entropy payload's chunk
+// structure on the host (alphabet + Exp-Golomb lengths -> 4096-entry decode
+// tables, 4 lane byte streams per chunk) so the bulk symbol decode can run
+// batched on the TPU (kanzi_tpu/ops/huffman.py decode_lanes).
+//
+// Per chunk c (16 KiB grid over outLen):
+//   flags[c]: 0 = normal (table + 4 device lanes), 1 = raw small chunk
+//             (< 32 bytes, stored in aux), 2 = single symbol (value in aux)
+//   dtables[c*4096..]: code -> (symbol<<8)|size entries
+//   lanes: 4 zero-padded rows per flag==0 chunk, in chunk order
+//   laneBits: exact payload bits per lane row
+//   aux[c*auxStride..]: raw chunk bytes / single symbol / trailing tail bytes
+// Returns the chunk count or a negative error.
+int huffmanDecPrepare(const u8* payload, i64 payloadBytes, i64 outLen,
+                      u16* dtables, u8* lanes, i64 laneStride, i32* laneBits,
+                      u8* flags, u8* aux, i64 auxStride) {
+    IBS ibs(payload, payloadBytes);
+    HufDecoder dec;
+    int c = 0;
+    i64 lane = 0;
+    i64 startChunk = 0;
+    while (startChunk < outLen) {
+        int sizeChunk = (int)std::min((i64)HUF_MAX_CHUNK, outLen - startChunk);
+        u8* auxRow = aux + (size_t)c * auxStride;
+        if (sizeChunk < 32) {
+            flags[c] = 1;
+            ibs.readArray(auxRow, 8 * (u64)sizeChunk);
+        } else {
+            int alphabetSize = dec.readLengths(ibs);
+            if (alphabetSize == 0) return -3;
+            if (alphabetSize == 1) {
+                flags[c] = 2;
+                auxRow[0] = (u8)dec.alphabet[0];
+            } else {
+                if (!dec.buildDecodingTable(alphabetSize)) return -4;
+                flags[c] = 0;
+                std::memcpy(dtables + (size_t)c * 4096, dec.table.data(),
+                            4096 * sizeof(u16));
+                // layout: all four varint lane sizes, then the four lanes
+                u32 szBits[4];
+                for (int j = 0; j < 4; j++) {
+                    szBits[j] = readVarInt(ibs);
+                    if ((i64)((szBits[j] + 7) >> 3) + 8 > laneStride) return -5;
+                    laneBits[lane + j] = (i32)szBits[j];
+                }
+                for (int j = 0; j < 4; j++)
+                    ibs.readArray(lanes + (size_t)(lane + j) * laneStride,
+                                  szBits[j]);
+                lane += 4;
+                int szFrag = sizeChunk / 4;
+                for (int i = 4 * szFrag; i < sizeChunk; i++)
+                    auxRow[i - 4 * szFrag] = (u8)ibs.readBits(8);
+            }
+        }
+        startChunk += sizeChunk;
+        c++;
+    }
+    return c;
+}
+
 }  // namespace kz
+
+extern "C" int kz_huffman_dec_prepare(const uint8_t* payload,
+                                      int64_t payloadBytes, int64_t outLen,
+                                      uint16_t* dtables, uint8_t* lanes,
+                                      int64_t laneStride, int32_t* laneBits,
+                                      uint8_t* flags, uint8_t* aux,
+                                      int64_t auxStride) {
+    try {
+        return kz::huffmanDecPrepare(payload, payloadBytes, outLen, dtables,
+                                     lanes, laneStride, laneBits, flags, aux,
+                                     auxStride);
+    } catch (const std::exception&) {
+        return -1;
+    }
+}
 
 extern "C" int kz_huffman_prepare(const uint8_t* block, int64_t len,
                                   uint16_t* tables, uint8_t* hdr,

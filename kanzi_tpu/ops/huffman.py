@@ -80,3 +80,44 @@ def words_to_bytes(words) -> bytes:
     """Big-endian byte view of packed words (numpy, host side)."""
     import numpy as np
     return np.asarray(words).astype(">u4").tobytes()
+
+
+@functools.partial(jax.jit, static_argnames=())
+def decode_lanes(lanes: jax.Array, table_idx: jax.Array,
+                 dtables: jax.Array) -> jax.Array:
+    """Batched table-driven Huffman decode (the device side of the 4-lane
+    refill loop, reference v2/entropy/HuffmanCodec.go:807-976).
+
+    Each lane decodes sequentially — peek 12 bits at the bit cursor, look up
+    (symbol, length) in the chunk's 4096-entry table, advance — expressed as
+    a lax.scan over symbol slots, fully vectorized across lanes. Lanes must
+    be zero-padded (like the reference's cleared refill slack) so peeks past
+    the payload end are deterministic.
+
+    lanes:     (L, S) uint8   lane byte streams, zero-padded; S >= FRAG*12/8+4
+    table_idx: (L,)   int32   chunk/table index per lane
+    dtables:   (C, 4096) uint16  code -> (symbol<<8)|length
+
+    Returns symbols (L, FRAG) uint8 (garbage beyond each lane's true
+    fragment size; the host slices per chunk).
+    """
+    L = lanes.shape[0]
+    lanes32 = lanes.astype(jnp.int32)
+    flat = dtables.reshape(-1).astype(jnp.int32)
+    base = table_idx.astype(jnp.int32) * 4096
+
+    def step(bitpos, _):
+        byte_idx = bitpos >> 3
+        rem = bitpos & 7
+        b0 = jnp.take_along_axis(lanes32, byte_idx[:, None], axis=1)[:, 0]
+        b1 = jnp.take_along_axis(lanes32, byte_idx[:, None] + 1, axis=1)[:, 0]
+        b2 = jnp.take_along_axis(lanes32, byte_idx[:, None] + 2, axis=1)[:, 0]
+        w = (b0 << 16) | (b1 << 8) | b2
+        code = (w >> (12 - rem)) & 0xFFF
+        val = flat[base + code]
+        sym = (val >> 8).astype(jnp.uint8)
+        return bitpos + (val & 0xFF), sym
+
+    init = jnp.zeros(L, jnp.int32)
+    _, syms = jax.lax.scan(step, init, None, length=FRAG)
+    return jnp.swapaxes(syms, 0, 1)

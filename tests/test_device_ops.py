@@ -79,3 +79,14 @@ def test_device_ans_matches_host():
             dev, dbits = ans_encode_device(data, order)
             assert dbits == hbits, f"ANS{order} {name}: bit count mismatch"
             assert dev == host, f"ANS{order} {name}: payload mismatch"
+
+
+def test_device_huffman_decode_matches_input():
+    from kanzi_tpu.entropy.huffman_device import huffman_decode_device
+    for name, data in _cases().items():
+        payload, bits = native.entropy_encode(
+            1, np.frombuffer(data, np.uint8), {"bsVersion": 6})
+        dev = huffman_decode_device(payload, len(data))
+        host = native.entropy_decode(1, payload, len(data), {"bsVersion": 6})
+        assert host == data, f"{name}: host decode broken"
+        assert dev == data, f"{name}: device decode mismatch"
