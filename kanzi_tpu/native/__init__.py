@@ -32,7 +32,9 @@ def _get_scratch(kind: str, size: int) -> np.ndarray:
     return buf
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_LIB_PATH = os.path.join(_DIR, "build", "libkanzi_native.so")
+# KANZI_NATIVE_LIB overrides the library (e.g. the ASAN build for fuzzing)
+_LIB_PATH = os.environ.get("KANZI_NATIVE_LIB") or \
+    os.path.join(_DIR, "build", "libkanzi_native.so")
 _lock = threading.Lock()
 _lib = None
 

@@ -335,7 +335,9 @@ class ANSDecoder {
     inline void decodeSymbol(i64& n, int& st, const DecSymbol& sym, int mask) {
         st = sym.freq * (st >> logRange_) + (st & mask) - sym.cumFreq;
         if (st < ANS_TOP) {
-            st = (st << 16) | ((int)buffer_[n] << 8) | buffer_[n + 1];
+            // u32 shift: st can be negative on corrupted input, and a signed
+            // left shift of a negative value is UB (caught by UBSAN fuzz)
+            st = (int)(((u32)st << 16) | ((u32)buffer_[n] << 8) | buffer_[n + 1]);
             n += 2;
         }
     }

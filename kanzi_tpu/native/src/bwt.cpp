@@ -15,6 +15,8 @@
 // structure). The 8-cursor lockstep is this domain's sequence parallelism —
 // the device kernel batches cursors across blocks.
 
+#include <thread>
+
 #include "kz.h"
 
 namespace kz {
@@ -61,7 +63,10 @@ static void inverseMergeTPSI(const u8* src, u8* dst, i32 count, const u32* index
     i32 pIdx = (i32)indexes[0];
     if (pIdx <= 0 || pIdx > count) throw Error("corrupted BWT primary index");
 
-    std::vector<i32> data(std::max(count, 64));
+    // max(count, 256): on a corrupted stream the 0xFF00|src[0] sentinel
+    // entry can surface mid-walk as cursor value 255; a zeroed slot there
+    // keeps the walk in bounds (garbage output is caught by the checksum)
+    std::vector<i32> data(std::max(count, 256));
     i32 buckets[256];
     {
         i32 freqs[256];
@@ -123,14 +128,18 @@ static void inverseMergeTPSI(const u8* src, u8* dst, i32 count, const u32* index
 }
 
 // biPSIv2 inverse for n > 4 MiB (reference BWT.go:361-628)
-static void inverseBiPSIv2(const u8* src, u8* dst, i32 count, const u32* indexes) {
+static void inverseBiPSIv2(const u8* src, u8* dst, i32 count, const u32* indexes,
+                           int jobs) {
     i32 pIdx = (i32)indexes[0];
     if (pIdx > count) throw Error("corrupted BWT primary index");
 
     std::vector<i32> data(count + 1);
     i32 freqs[256];
     computeHistogram(src, count, freqs);
-    std::vector<i32> buckets(65536, 0);
+    // one sentinel slot: the decode walk scans `while (buckets[s] <= p) s++`
+    // and a corrupted stream can drive s past the last real bucket
+    std::vector<i32> buckets(65537, 0);
+    buckets[65536] = INT32_MAX;
 
     for (i32 c = 0, sum = 1; c < 256; c++) {
         i32 f = sum;
@@ -204,19 +213,41 @@ static void inverseBiPSIv2(const u8* src, u8* dst, i32 count, const u32* indexes
     i32 ckSize = count / chunks;
     if (ckSize * chunks != count) ckSize++;
 
-    // chunk walks (sequential host version; chunk-parallel on device/threads)
-    i32 start = 0;
-    for (int c = 0; c < chunks; c++) {
-        i32 end = std::min(start + ckSize, count - 1);
-        i32 p = (i32)indexes[c];
-        for (i32 i = start + 1; i <= end; i += 2) {
-            u32 s = fastBits[p >> shift];
-            while (buckets[s] <= p) s++;
-            dst[i - 1] = (u8)(s >> 8);
-            dst[i] = (u8)s;
-            p = data[p];
+    // Chunk walks: each chunk's LF-walk is independent given its primary
+    // index, so chunk groups run on threads when jobs > 1 (reference
+    // BWT.go:473-500 runs the same split on goroutines; the single shared
+    // byte at each group boundary is written by both sides with the same
+    // value, exactly as the reference does).
+    auto walkChunks = [&](int firstChunk, int lastChunk) {
+        i32 start = (i32)firstChunk * ckSize;
+        for (int c = firstChunk; c < lastChunk; c++) {
+            i32 end = std::min(start + ckSize, count - 1);
+            i32 p = (i32)indexes[c];
+            for (i32 i = start + 1; i <= end; i += 2) {
+                u32 s = fastBits[p >> shift];
+                while (buckets[s] <= p) s++;
+                dst[i - 1] = (u8)(s >> 8);
+                dst[i] = (u8)s;
+                p = data[p];
+            }
+            start = end;
         }
-        start = end;
+    };
+
+    int nbTasks = std::min(jobs > 0 ? jobs : 1, chunks);
+    if (nbTasks <= 1) {
+        walkChunks(0, chunks);
+    } else {
+        // ComputeJobsPerTask split (v2/internal/Global.go:424-460)
+        std::vector<std::thread> threads;
+        int q = chunks / nbTasks, r = chunks - q * nbTasks;
+        int c = 0;
+        for (int j = 0; j < nbTasks; j++) {
+            int take = q + (j < r ? 1 : 0);
+            threads.emplace_back(walkChunks, c, c + take);
+            c += take;
+        }
+        for (auto& t : threads) t.join();
     }
 
     dst[count - 1] = (u8)lastc;
@@ -253,7 +284,6 @@ int bwtBlockForward(const u8* src, i32 n, u8* dst, i64 cap, Ctx& ctx, i32* outLe
 }
 
 int bwtBlockInverse(const u8* src, i32 n, u8* dst, i64 cap, Ctx& ctx, i32* outLen) {
-    (void)ctx;
     if (n <= 1) throw Error("BWT inverse: invalid size");
     u8 mode = src[0];
     u32 logNbChunks = (mode >> 2) & 0x07;
@@ -287,7 +317,7 @@ int bwtBlockInverse(const u8* src, i32 n, u8* dst, i64 cap, Ctx& ctx, i32* outLe
     if (blockSize <= BWT_THRESHOLD2)
         inverseMergeTPSI(payload, dst, blockSize, indexes);
     else
-        inverseBiPSIv2(payload, dst, blockSize, indexes);
+        inverseBiPSIv2(payload, dst, blockSize, indexes, ctx.jobs);
     *outLen = blockSize;
     return 0;
 }

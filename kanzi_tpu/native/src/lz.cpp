@@ -353,15 +353,15 @@ int lzxForward(const u8* src, i32 count, u8* dst, i64 dstCap, Ctx& ctx,
 int lzxInverse(const u8* src, i32 count, u8* dst, i64 dstCap, i32* outLen) {
     if (count < 13) throw Error("LZCodec inverse: invalid data");
 
-    int tkIdx = (int)le32(src);
-    int mIdx = (int)le32(src + 4);
-    int mLenIdx = (int)le32(src + 8);
-    if (tkIdx < 0 || mIdx < 0 || mLenIdx < 0)
+    // hostile 32-bit section sizes: accumulate in 64 bits before validating
+    i64 tkIdx64 = (i64)le32(src);
+    i64 mIdx64 = tkIdx64 + (i64)le32(src + 4);
+    i64 mLenIdx64 = mIdx64 + (i64)le32(src + 8);
+    if (tkIdx64 > count || mIdx64 > count || mLenIdx64 > count)
         throw Error("LZCodec inverse: invalid data");
-    mIdx += tkIdx;
-    mLenIdx += mIdx;
-    if (tkIdx > count || mIdx > count || mLenIdx > count)
-        throw Error("LZCodec inverse: invalid data");
+    int tkIdx = (int)tkIdx64;
+    int mIdx = (int)mIdx64;
+    int mLenIdx = (int)mLenIdx64;
 
     const int srcEnd = tkIdx - 13;
     const int mFlag = src[12] & 0x01;

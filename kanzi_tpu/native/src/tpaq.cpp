@@ -149,7 +149,7 @@ static inline i32 hashTPAQ(i32 x, i32 y) {
 static inline i32 createContext(i32 ctxID, i32 cx) {
     u32 c = (u32)cx * 987654323u + (u32)ctxID;
     c = (c << 16) | (c >> 16);
-    return (i32)(c * 123456791u) + ctxID;
+    return (i32)(c * 123456791u + (u32)ctxID);  // wrap-add, no signed overflow
 }
 
 // Logistic adaptive probability map (SSE stage)
@@ -158,7 +158,7 @@ class LogisticAPM {
     LogisticAPM(int n, u32 rate) : rate_(rate), index_(0) {
         data_.resize((size_t)n * 33);
         for (int j = 0; j <= 32; j++)
-            data_[j] = (u16)(kzSquash((j - 16) << 7) << 4);
+            data_[j] = (u16)(kzSquash((j - 16) * 128) << 4);
         for (int i = 1; i < n; i++)
             std::memcpy(&data_[(size_t)i * 33], &data_[0], 33 * sizeof(u16));
         gradient_[0] = 0;
@@ -371,11 +371,11 @@ class TPAQPredictor {
         i32 p0 = STATE_MAP[*cp0_];
         cp1_ = &smallStatesMap1_[ctx1_ + c];
         i32 p1 = STATE_MAP[*cp1_];
-        cp2_ = &bigStatesMap_[(ctx2_ + c) & statesMask_];
+        cp2_ = &bigStatesMap_[(i32)((u32)ctx2_ + (u32)c) & statesMask_];
         i32 p2 = STATE_MAP[*cp2_];
-        cp3_ = &bigStatesMap_[(ctx3_ + c) & statesMask_];
+        cp3_ = &bigStatesMap_[(i32)((u32)ctx3_ + (u32)c) & statesMask_];
         i32 p3 = STATE_MAP[*cp3_];
-        cp4_ = &bigStatesMap_[(ctx4_ + c) & statesMask_];
+        cp4_ = &bigStatesMap_[(i32)((u32)ctx4_ + (u32)c) & statesMask_];
         i32 p4 = STATE_MAP[*cp4_];
         cp5_ = &bigStatesMap_[(ctx5_ ^ c) & statesMask_];
         i32 p5 = STATE_MAP[*cp5_];
@@ -390,7 +390,7 @@ class TPAQPredictor {
                 p = (3 * sse0_->get(bit, p, (int)c0_) + p) >> 2;
         } else {
             *cp6_ = table[*cp6_];
-            cp6_ = &bigStatesMap_[(ctx6_ + c) & statesMask_];
+            cp6_ = &bigStatesMap_[(i32)((u32)ctx6_ + (u32)c) & statesMask_];
             i32 p6 = STATE_MAP[*cp6_];
             p = mixer_->get(p0, p1, p2, p3, p4, p5, p6, p7);
             if (binCount_ < (pos_ >> 3)) {

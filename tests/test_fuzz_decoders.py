@@ -1,0 +1,145 @@
+"""Adversarial fuzz of the native decode paths under ASAN+UBSAN.
+
+The decode path is C++: an out-of-bounds access is memory corruption, not an
+exception. This suite feeds crafted and random hostile inputs to every
+entropy decoder, every transform inverse, and the container reader, running
+against an ASAN+UBSAN build of the native library in a subprocess. A typed
+error (or garbage output caught by the container checksum) is acceptable; a
+sanitizer report or crash fails the test.
+
+Attack classes (reference decode-side validation style:
+v2/entropy/ANSRangeCodec.go:605-710):
+  - random byte payloads at various claimed output lengths
+  - systematic corruption of the first header bytes of valid payloads
+    (alphabet masks, logRange/logMax fields, varint lane/chunk sizes)
+  - truncations of valid payloads at every early offset
+  - hostile section lengths in container frames (mutated valid streams)
+"""
+
+import os
+import random
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+NATIVE = os.path.join(REPO, "kanzi_tpu", "native")
+ASAN_LIB = os.path.join(NATIVE, "build", "asan", "libkanzi_native_asan.so")
+
+ENTROPY_TYPES = [1, 2, 4, 5, 6, 7, 8, 9]
+TRANSFORM_TYPES = [1, 2, 3, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18]
+
+
+def _fuzz_body():
+    import numpy as np
+    from kanzi_tpu import native
+    import kanzi_tpu
+
+    rng = random.Random(0xF077)
+    ctx = {"bsVersion": 6, "blockSize": 65536}
+
+    def try_entropy_decode(et, payload, out_len):
+        try:
+            native.entropy_decode(et, payload, out_len, dict(ctx))
+        except RuntimeError:
+            pass
+
+    def try_inverse(tt, payload):
+        try:
+            native.transform_inverse(
+                tt, np.frombuffer(payload, np.uint8), dict(ctx), 1 << 18)
+        except Exception:
+            pass
+
+    # 1. random payloads
+    for et in ENTROPY_TYPES:
+        for _ in range(30):
+            n = rng.choice([1, 7, 64, 1000, 5000])
+            payload = bytes(rng.randrange(256) for _ in range(n))
+            for out_len in (0, 17, 1000, 65536):
+                try_entropy_decode(et, payload, out_len)
+
+    # 2. corrupted valid payloads: every header-ish byte to 0x00/0xFF/random
+    base = (open(os.path.join(REPO, "SURVEY.md"), "rb").read()[:30000]
+            + bytes(rng.randrange(8) for _ in range(10000)))
+    for et in ENTROPY_TYPES:
+        valid, bits = native.entropy_encode(
+            et, np.frombuffer(base, np.uint8), dict(ctx))
+        valid = bytearray(valid)
+        span = min(len(valid), 48)
+        for i in range(span):
+            for v in (0x00, 0xFF, rng.randrange(256)):
+                mut = bytes(valid[:i]) + bytes([v]) + bytes(valid[i + 1:])
+                try_entropy_decode(et, mut, len(base))
+        # 3. truncations
+        for cut in list(range(min(len(valid), 40))) + \
+                [len(valid) // 2, max(len(valid) - 1, 0)]:
+            try_entropy_decode(et, bytes(valid[:cut]), len(base))
+
+    # 4. transform inverses on hostile bytes (incl. crafted section lengths)
+    for tt in TRANSFORM_TYPES:
+        for _ in range(25):
+            n = rng.choice([1, 13, 64, 4096])
+            try_inverse(tt, bytes(rng.randrange(256) for _ in range(n)))
+        # LZX/ROLZ-style: plausible section headers with huge lengths
+        for big in (0x7FFFFFFF, 0xFFFFFFFE, 1 << 24):
+            hdr = big.to_bytes(4, "little") * 3 + b"\x04" + b"A" * 200
+            try_inverse(tt, hdr)
+            hdr_be = big.to_bytes(4, "big") * 4 + b"B" * 200
+            try_inverse(tt, hdr_be)
+
+    # 5. container-level mutations: random bytes + bit flips in valid streams
+    data = base[:20000]
+    for level in (1, 2, 5, 6):
+        blob = bytearray(kanzi_tpu.compress(data, level=level, checksum=32,
+                                            block_size=65536))
+        for _ in range(60):
+            mut = bytearray(blob)
+            for _ in range(rng.randrange(1, 4)):
+                mut[rng.randrange(len(mut))] ^= 1 << rng.randrange(8)
+            try:
+                out = kanzi_tpu.decompress(bytes(mut))
+                # silent corruption would be a bug, but checksum mutations
+                # can themselves be hit; only a crash is fatal here
+            except Exception:
+                pass
+        for cut in (0, 5, 19, 21, len(blob) // 2, len(blob) - 1):
+            try:
+                kanzi_tpu.decompress(bytes(blob[:cut]))
+            except Exception:
+                pass
+
+    print("FUZZ-OK")
+
+
+@pytest.mark.slow
+def test_decoder_fuzz_under_asan():
+    r = subprocess.run(["make", "-C", NATIVE, "asan"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    libasan = subprocess.run(
+        ["g++", "-print-file-name=libasan.so"],
+        capture_output=True, text=True).stdout.strip()
+    # libstdc++ must be preloaded too: python does not link it, and without
+    # it ASAN's __cxa_throw interceptor cannot resolve the real symbol
+    libstdcxx = subprocess.run(
+        ["g++", "-print-file-name=libstdc++.so"],
+        capture_output=True, text=True).stdout.strip()
+    env = dict(os.environ)
+    env.update({
+        "KANZI_NATIVE_LIB": ASAN_LIB,
+        "LD_PRELOAD": f"{libasan} {libstdcxx}",
+        "ASAN_OPTIONS": "detect_leaks=0:abort_on_error=1",
+        "JAX_PLATFORMS": "cpu",
+        "PYTHONPATH": REPO,
+    })
+    r = subprocess.run([sys.executable, __file__, "--run-fuzz"],
+                       capture_output=True, text=True, env=env, timeout=900)
+    assert r.returncode == 0 and "FUZZ-OK" in r.stdout, \
+        f"rc={r.returncode}\nstdout={r.stdout[-2000:]}\nstderr={r.stderr[-4000:]}"
+
+
+if __name__ == "__main__":
+    if "--run-fuzz" in sys.argv:
+        _fuzz_body()
