@@ -839,12 +839,13 @@ class Reader:
             br._pos += bits  # skipped block: advance past the payload
             return True
 
-        if int(self.ctx.get("bsVersion", BITSTREAM_FORMAT_VERSION)) < 6:
-            # v5 headers parse (for -y info / header inspection and block
-            # skipping), but legacy payload decoding is out of scope — fail
-            # clearly instead of decoding garbage
+        if int(self.ctx.get("bsVersion", BITSTREAM_FORMAT_VERSION)) < 5:
+            # version-5 payloads decode (legacy Huffman single-stream chunks,
+            # BWT per-chunk headers, LZX v4 layout, text codec-2 old word
+            # indexes); older versions (v1-v4 chunk layouts, pre-v5 headers)
+            # remain out of scope — fail clearly instead of decoding garbage
             raise KanziError(
-                "Legacy bitstream payloads (version < 6) are not supported",
+                "Legacy bitstream payloads (version < 5) are not supported",
                 ERR_STREAM_VERSION)
 
         if self._fast is None:

@@ -10,7 +10,7 @@
 
 namespace kz {
 void huffmanEncode(OBS& obs, const u8* block, i64 len);
-void huffmanDecode(IBS& ibs, u8* block, i64 len);
+void huffmanDecode(IBS& ibs, u8* block, i64 len, int bsVersion);
 void ansEncode(OBS& obs, const u8* block, i64 len, int order);
 void ansDecode(IBS& ibs, u8* block, i64 len, int order, int bsVersion);
 void rangeEncode(OBS& obs, const u8* block, i64 len);
@@ -88,7 +88,7 @@ int64_t kz_entropy_decode(int etype, const uint8_t* src, int64_t srcLen,
                 ibs.readArray(dst, (u64)outLen * 8);
                 break;
             case ET_HUFFMAN:
-                huffmanDecode(ibs, dst, outLen);
+                huffmanDecode(ibs, dst, outLen, ctx->bsVersion);
                 break;
             case ET_ANS0:
                 ansDecode(ibs, dst, outLen, 0, ctx->bsVersion);

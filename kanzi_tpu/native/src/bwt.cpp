@@ -285,22 +285,48 @@ int bwtBlockForward(const u8* src, i32 n, u8* dst, i64 cap, Ctx& ctx, i32* outLe
 
 int bwtBlockInverse(const u8* src, i32 n, u8* dst, i64 cap, Ctx& ctx, i32* outLen) {
     if (n <= 1) throw Error("BWT inverse: invalid size");
-    u8 mode = src[0];
-    u32 logNbChunks = (mode >> 2) & 0x07;
-    int pIndexSize = (mode & 0x03) + 1;
-    int chunks = 1 << logNbChunks;
-    int headerSize = chunks * pIndexSize + 1;
-    if (n < headerSize) throw Error("BWT inverse: invalid header size");
-    i32 blockSize = n - headerSize;
-    if (chunks != bwtChunks(blockSize)) throw Error("BWT inverse: invalid number of chunks");
-
     u32 indexes[8] = {0};
-    int idx = 1;
-    for (int i = 0; i < chunks; i++) {
-        u32 primaryIndex = 0;
-        for (int shift = (pIndexSize - 1) << 3; shift >= 0; shift -= 8)
-            primaryIndex = (primaryIndex << 8) | src[idx++];
-        indexes[i] = primaryIndex + 1;
+    i32 blockSize;
+    int headerSize;
+    if (ctx.bsVersion > 0 && ctx.bsVersion < 6) {
+        // legacy per-chunk headers: mode byte embeds the primary index's
+        // top 6 bits and its byte width (reference BWTBlockCodec.go:193-221)
+        int chunks = bwtChunks(n);
+        int idx = 0;
+        blockSize = n;
+        for (int i = 0; i < chunks; i++) {
+            if (idx >= n) throw Error("BWT inverse: invalid header size");
+            int blockMode = src[idx++];
+            int pIndexSizeBytes = 1 + ((blockMode >> 6) & 0x03);
+            if (blockSize < pIndexSizeBytes)
+                throw Error("BWT inverse: invalid compressed length");
+            blockSize -= pIndexSizeBytes;
+            int shift = (pIndexSizeBytes - 1) << 3;
+            u32 primaryIndex = (u32)(blockMode & 0x3F) << shift;
+            for (int k = 1; k < pIndexSizeBytes; k++) {
+                shift -= 8;
+                primaryIndex |= (u32)src[idx++] << shift;
+            }
+            indexes[i] = primaryIndex;
+        }
+        headerSize = idx;
+    } else {
+        u8 mode = src[0];
+        u32 logNbChunks = (mode >> 2) & 0x07;
+        int pIndexSize = (mode & 0x03) + 1;
+        int chunks = 1 << logNbChunks;
+        headerSize = chunks * pIndexSize + 1;
+        if (n < headerSize) throw Error("BWT inverse: invalid header size");
+        blockSize = n - headerSize;
+        if (chunks != bwtChunks(blockSize)) throw Error("BWT inverse: invalid number of chunks");
+
+        int idx = 1;
+        for (int i = 0; i < chunks; i++) {
+            u32 primaryIndex = 0;
+            for (int shift = (pIndexSize - 1) << 3; shift >= 0; shift -= 8)
+                primaryIndex = (primaryIndex << 8) | src[idx++];
+            indexes[i] = primaryIndex + 1;
+        }
     }
 
     if (cap < blockSize) throw Error("BWT inverse: output buffer too small");

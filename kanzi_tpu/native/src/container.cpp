@@ -23,7 +23,7 @@ namespace kz {
 int transformForward(int ttype, const u8* src, i32 n, u8* dst, i64 cap, Ctx& ctx, i32* outLen);
 int transformInverse(int ttype, const u8* src, i32 n, u8* dst, i64 cap, Ctx& ctx, i32* outLen);
 void huffmanEncode(OBS& obs, const u8* block, i64 len);
-void huffmanDecode(IBS& ibs, u8* block, i64 len);
+void huffmanDecode(IBS& ibs, u8* block, i64 len, int bsVersion);
 void ansEncode(OBS& obs, const u8* block, i64 len, int order);
 void ansDecode(IBS& ibs, u8* block, i64 len, int order, int bsVersion);
 void rangeEncode(OBS& obs, const u8* block, i64 len);
@@ -182,7 +182,7 @@ void entropyEncodeAny(OBS& obs, int etype, const u8* src, i64 n, Ctx& ctx) {
 void entropyDecodeAny(IBS& ibs, int etype, u8* dst, i64 n, Ctx& ctx) {
     switch (etype) {
         case ET_NONE:    ibs.readArray(dst, (u64)n * 8); break;
-        case ET_HUFFMAN: huffmanDecode(ibs, dst, n); break;
+        case ET_HUFFMAN: huffmanDecode(ibs, dst, n, ctx.bsVersion); break;
         case ET_ANS0:    ansDecode(ibs, dst, n, 0, ctx.bsVersion); break;
         case ET_ANS1:    ansDecode(ibs, dst, n, 1, ctx.bsVersion); break;
         case ET_RANGE:   rangeDecode(ibs, dst, n, ctx.bsVersion); break;

@@ -342,6 +342,55 @@ struct HufDecoder {
         return (u8)(bits + shift - HUF_MAX_SYMBOL_SIZE);
     }
 
+    // Legacy single-stream chunk decode (bsVersion < 6,
+    // reference v2/entropy/HuffmanCodec.go:978-1055)
+    void decodeChunkV5(IBS& ibs, u8* block, int count) {
+        if (ibs.readBits(2) != 0)
+            throw Error("invalid Huffman data: only one stream supported in this version");
+        u32 szBits = readVarInt(ibs);
+        if (szBits == 0) return;
+        i64 sz = (i64)((szBits + 7) >> 3);
+        i64 minLenBuf = std::max(sz + (sz >> 3), (i64)1024);
+        if ((i64)buffer.size() < minLenBuf + 8) buffer.resize(minLenBuf + 8);
+        ibs.readArray(buffer.data(), szBits);
+        u64 state = 0;
+        u8 bits = 0;
+        i64 idx = 0;
+        int n = 0;
+        while (idx < sz - 8 && n + 4 <= count) {
+            u8 shift = (u8)((56 - bits) & ~7);
+            u64 v;
+            std::memcpy(&v, buffer.data() + idx, 8);
+            v = __builtin_bswap64(v);
+            state = (state << shift) | (v >> 1 >> (63 - shift));
+            idx += shift >> 3;
+            u8 bs = (u8)(bits + shift - HUF_MAX_SYMBOL_SIZE);
+            for (int k = 0; k < 4; k++) {
+                u16 val = table[(state >> bs) & HUF_DECODING_MASK];
+                bs -= (u8)val;
+                block[n + k] = (u8)(val >> 8);
+            }
+            bits = (u8)(bs + HUF_MAX_SYMBOL_SIZE);
+            n += 4;
+        }
+        while (n < count) {
+            while (bits < HUF_MAX_SYMBOL_SIZE && idx < sz) {
+                state = (state << 8) | buffer[idx];
+                idx++;
+                bits += 8;  // may overshoot on the final padded byte
+            }
+            if (bits > 64) throw Error("invalid bitstream: incorrect symbol size");
+            u16 val;
+            if (bits >= HUF_MAX_SYMBOL_SIZE)
+                val = table[(state >> (bits - HUF_MAX_SYMBOL_SIZE)) & HUF_DECODING_MASK];
+            else
+                val = table[(state << (HUF_MAX_SYMBOL_SIZE - bits)) & HUF_DECODING_MASK];
+            bits -= (u8)val;
+            block[n] = (u8)(val >> 8);
+            n++;
+        }
+    }
+
     void decodeChunk(IBS& ibs, u8* block, int count) {
         u32 szBits[4];
         for (int j = 0; j < 4; j++) szBits[j] = readVarInt(ibs);
@@ -392,11 +441,29 @@ struct HufDecoder {
     }
 };
 
-void huffmanDecode(IBS& ibs, u8* block, i64 len) {
+void huffmanDecode(IBS& ibs, u8* block, i64 len, int bsVersion) {
     if (len == 0) return;
     HufDecoder dec;
     int chunkSize = HUF_MAX_CHUNK;
     i64 startChunk = 0;
+    if (bsVersion > 0 && bsVersion < 6) {
+        // legacy decode: no small-chunk raw path, single-stream chunks
+        // (reference decodeV5 :718-760)
+        while (startChunk < len) {
+            int sizeChunk = (int)std::min((i64)chunkSize, len - startChunk);
+            int alphabetSize = dec.readLengths(ibs);
+            if (alphabetSize == 0) throw Error("invalid Huffman alphabet");
+            if (alphabetSize == 1) {
+                std::memset(block + startChunk, dec.alphabet[0], sizeChunk);
+            } else {
+                if (!dec.buildDecodingTable(alphabetSize))
+                    throw Error("invalid Huffman symbol size");
+                dec.decodeChunkV5(ibs, block + startChunk, sizeChunk);
+            }
+            startChunk += sizeChunk;
+        }
+        return;
+    }
     while (startChunk < len) {
         int sizeChunk = (int)std::min((i64)chunkSize, len - startChunk);
         if (sizeChunk < 32) {

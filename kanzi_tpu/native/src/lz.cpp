@@ -350,6 +350,102 @@ int lzxForward(const u8* src, i32 count, u8* dst, i64 dstCap, Ctx& ctx,
     return 0;
 }
 
+// Legacy v<6 inverse: token = 3-bit litLen | 1-bit dist-extra | 4-bit mLen,
+// 2-entry minMatch table selected by header bits, rep-distances via mLen=15
+// (reference v2/transform/LZCodec.go:780-941)
+int lzxInverseV4(const u8* src, i32 count, u8* dst, i64 dstCap, i32* outLen) {
+    if (count < 13) throw Error("LZCodec inverse: invalid data");
+    i64 tkIdx64 = (i64)le32(src);
+    i64 mIdx64 = tkIdx64 + (i64)le32(src + 4);
+    i64 mLenIdx64 = mIdx64 + (i64)le32(src + 8);
+    if (tkIdx64 > count || mIdx64 > count || mLenIdx64 > count)
+        throw Error("LZCodec inverse: invalid data");
+    int tkIdx = (int)tkIdx64, mIdx = (int)mIdx64, mLenIdx = (int)mLenIdx64;
+
+    const int srcEnd = tkIdx - 13;
+    const int mFlag = src[12] & 0x01;
+    const i64 dstEnd = dstCap - 16;
+    int maxDist = (mFlag == 0) ? LZX_MAX_DISTANCE1 : LZX_MAX_DISTANCE2;
+    static const int minMatches[4] = {4, 9, 6, 6};
+    const int minMatch = minMatches[(src[12] >> 1) & 0x03];
+
+    int srcIdx = 13;
+    i64 dstIdx = 0;
+    int repd0 = 0, repd1 = 0;
+
+    while (true) {
+        if (tkIdx >= count) throw Error("LZCodec inverse: invalid data");
+        int token = src[tkIdx++];
+        if (token >= 32) {
+            int litLen;
+            if (token >= 0xE0) {
+                int c;
+                litLen = 7 + readLengthLZ(src + srcIdx, &c);
+                srcIdx += c;
+            } else {
+                litLen = token >> 5;
+            }
+            if (dstIdx + litLen > dstCap || srcIdx + litLen > count)
+                throw Error("LZCodec inverse: invalid literals");
+            std::memcpy(dst + dstIdx, src + srcIdx, litLen);
+            srcIdx += litLen;
+            dstIdx += litLen;
+            if (srcIdx >= srcEnd + 13) break;
+        }
+
+        int mLen = token & 0x0F;
+        int dist;
+        if (mLen == 15) {
+            int c;
+            if (mLenIdx >= count) throw Error("LZCodec inverse: invalid data");
+            mLen = minMatch + readLengthLZ(src + mLenIdx, &c);
+            mLenIdx += c;
+            dist = (token & 0x10) == 0 ? repd0 : repd1;
+        } else {
+            if (mLen == 14) {
+                int c;
+                if (mLenIdx >= count) throw Error("LZCodec inverse: invalid data");
+                mLen = 14 + minMatch + readLengthLZ(src + mLenIdx, &c);
+                mLenIdx += c;
+            } else {
+                mLen += minMatch;
+            }
+            if (mIdx >= count) throw Error("LZCodec inverse: invalid data");
+            dist = src[mIdx++];
+            if (mFlag != 0) {
+                if (mIdx >= count) throw Error("LZCodec inverse: invalid data");
+                dist = (dist << 8) | src[mIdx++];
+            }
+            if (token & 0x10) {
+                if (mIdx >= count) throw Error("LZCodec inverse: invalid data");
+                dist = (dist << 8) | src[mIdx++];
+            }
+        }
+
+        repd1 = repd0;
+        repd0 = dist;
+        i64 mEnd = dstIdx + mLen;
+        i64 ref = dstIdx - dist;
+        if (ref < 0 || dist > maxDist || mEnd > dstEnd)
+            throw Error("LZCodec inverse: invalid distance decoded");
+        if (dist >= 16) {
+            while (true) {
+                std::memcpy(dst + dstIdx, dst + ref, 16);
+                ref += 16;
+                dstIdx += 16;
+                if (dstIdx >= mEnd) break;
+            }
+        } else {
+            for (int i = 0; i < mLen; i++) dst[dstIdx + i] = dst[ref + i];
+        }
+        dstIdx = mEnd;
+    }
+
+    if (srcIdx != srcEnd + 13) throw Error("LZCodec inverse failed");
+    *outLen = (i32)dstIdx;
+    return 0;
+}
+
 int lzxInverse(const u8* src, i32 count, u8* dst, i64 dstCap, i32* outLen) {
     if (count < 13) throw Error("LZCodec inverse: invalid data");
 

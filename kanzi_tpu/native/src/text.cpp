@@ -608,7 +608,7 @@ static int textInverse1(TextCodecState& st, const u8* src, i32 count, u8* dst,
 }
 
 static int textInverse2(TextCodecState& st, const u8* src, i32 count, u8* dst,
-                        i64 dstEnd, i32* outLen) {
+                        i64 dstEnd, i32* outLen, bool oldEncoding = false) {
     int words = st.staticDictSize;
     bool wordRun = false;
     st.isCRLF = (src[0] & TC_MASK_CRLF) != 0;
@@ -660,11 +660,29 @@ static int textInverse2(TextCodecState& st, const u8* src, i32 count, u8* dst,
         srcIdx++;
         u8 flipMask = 0;
         if (cur >= 128) {
+            int idx;
+            if (oldEncoding) {
+                // legacy v<6 word index: 5 bits in the marker byte + flip
+                // bit 0x20 + continuation bit 0x40 with 1-2 extra 7-bit
+                // groups (reference TextCodec.go:1596-1617); no -1 adjust
+                idx = cur & 0x1F;
+                flipMask = cur & 0x20;
+                if (cur & 0x40) {
+                    int idx2 = src[srcIdx++];
+                    if (idx2 >= 128) {
+                        idx = (idx << 7) | (idx2 & 0x7F);
+                        idx2 = src[srcIdx++];
+                    }
+                    idx = (idx << 7) | idx2;
+                    if (idx >= st.dictSize)
+                        throw Error("text inverse: invalid index");
+                }
+            } else {
             if (cur == TC_MASK_FLIP_CASE) {
                 flipMask = 0x20;
                 cur = src[srcIdx++];
             }
-            int idx = cur & 0x7F;
+            idx = cur & 0x7F;
             if (idx >= 64) {
                 if (idx >= 112) {
                     idx = ((idx & 0x0F) << 16) | ((int)src[srcIdx] << 8) | src[srcIdx + 1];
@@ -678,6 +696,7 @@ static int textInverse2(TextCodecState& st, const u8* src, i32 count, u8* dst,
                 if (idx == 0) throw Error("text inverse: invalid index");
             }
             idx--;
+            }
 
             DictEntry* pe = &st.dictList()[idx];
             int length = (int)(pe->data >> 24) & 0xFF;
@@ -720,7 +739,9 @@ int textInverse(const u8* src, i32 count, u8* dst, i64 cap, Ctx& ctx, i32* outLe
     // the reference sizes the dynamic dictionary from the *output* buffer
     // length on inverse (v2/transform/TextCodec.go:956,1514)
     st.reset(cap);
-    if (v2) return textInverse2(st, src, count, dst, cap, outLen);
+    if (v2)
+        return textInverse2(st, src, count, dst, cap, outLen,
+                            ctx.bsVersion > 0 && ctx.bsVersion < 6);
     return textInverse1(st, src, count, dst, cap, outLen);
 }
 

@@ -15,6 +15,7 @@ enum {
 
 int lzxForward(const u8*, i32, u8*, i64, Ctx&, i32*, bool extra);
 int lzxInverse(const u8*, i32, u8*, i64, i32*);
+int lzxInverseV4(const u8*, i32, u8*, i64, i32*);
 int lzpForward(const u8*, i32, u8*, i64, i32*);
 int lzpInverse(const u8*, i32, u8*, i64, i32*);
 int zrltForward(const u8*, i32, u8*, i64, i32*);
@@ -108,6 +109,8 @@ int transformInverse(int ttype, const u8* src, i32 n, u8* dst, i64 cap,
             return 0;
         case TT_LZ:
         case TT_LZX:
+            if (ctx.bsVersion > 0 && ctx.bsVersion < 6)
+                return lzxInverseV4(src, n, dst, cap, outLen);
             return lzxInverse(src, n, dst, cap, outLen);
         case TT_LZP:
             return lzpInverse(src, n, dst, cap, outLen);

@@ -1,0 +1,131 @@
+"""Legacy bitstream-version-5 decode support.
+
+No Go toolchain and no archived fixtures exist here, so v5 streams are
+produced by the independent spec models in specmodel/legacy_v5.py (written
+from the reference's v5 decode semantics) and decoded by the implementation.
+Covered: v5 file header parsing, v5 Huffman single-stream chunks, v5
+BWTBlockCodec per-chunk headers, v5 LZX (v4 layout) inverse, and the text
+codec-2 legacy word-index encoding. Versions < 5 stay refused with
+ERR_STREAM_VERSION.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+import kanzi_tpu
+from kanzi_tpu import native
+from kanzi_tpu.core import ERR_STREAM_VERSION
+
+from specmodel.legacy_v5 import (compress_v5_huffman, huffman_encode_v5,
+                                 bwt_header_to_v5)
+
+
+def _cases():
+    rng = random.Random(55)
+    return {
+        "text": open("/root/repo/SURVEY.md", "rb").read()[:40000],
+        "narrow": bytes(rng.randrange(8) for _ in range(30000)),
+        "tiny": b"v5!",
+        "small100": bytes(rng.randrange(64) for _ in range(100)),
+        "chunk31": bytes(rng.randrange(64) for _ in range(16384 + 31)),
+        "const": b"\x41" * 20000,
+    }
+
+
+def test_v5_huffman_stream_decodes():
+    for name, data in _cases().items():
+        blob = compress_v5_huffman(data, block_size=65536)
+        out = kanzi_tpu.decompress(blob)
+        assert out == data, name
+
+
+def test_v5_huffman_payload_decodes():
+    for name, data in _cases().items():
+        if len(data) < 32:
+            continue
+        payload, bits = huffman_encode_v5(data)
+        out = native.entropy_decode(1, payload, len(data), {"bsVersion": 5})
+        assert out == data, name
+
+
+def test_v5_bwt_block_inverse():
+    rng = random.Random(7)
+    for data in (open("/root/repo/SURVEY.md", "rb").read()[:50000],
+                 bytes(rng.randrange(4) for _ in range(300000))):
+        v6_payload, _ = native.transform_forward(
+            1, np.frombuffer(data, np.uint8), {"blockSize": len(data)},
+            2 * len(data) + 64)
+        v5_payload = bwt_header_to_v5(bytes(v6_payload))
+        out = native.transform_inverse(
+            1, np.frombuffer(v5_payload, np.uint8), {"bsVersion": 5},
+            len(data) + 64)
+        assert bytes(out) == data
+
+
+def test_v5_lzx_inverse():
+    """The v4 LZX layout differs from v6 (4-bit match lengths, rep-dist via
+    mLen=15, per-token distance bytes). Hand-built payload:
+    header: litEnd=13+26=39, 2 tokens, 1 dist byte, flags=0 (maxDist1,
+    minMatch table idx 0 -> 4).
+    Token 1: litLen=7 escape (7<<5) | mLen=16-4=12 -> 0xEC; escaped lit
+    length byte 19 (26-7); 26 literals 'ABCDEFGH...Z'; dist byte 8.
+    Token 2: last literals litLen=0 -> the loop breaks via srcIdx>=srcEnd
+    after the literal copy of token 1?  v4 streams end when srcIdx reaches
+    srcEnd after literals — so a single token with all literals + one match
+    then a final literal-only token."""
+    lits = bytes(range(65, 91))            # 26 literals A..Z
+    # token1: litLen 7+19=26, then match mLen=12+4=16 at dist 8
+    # token2: literal-only terminator: litLen escape 7, extra len 0 -> 7? we
+    # need srcIdx to hit srcEnd exactly after its literals; simplest: final
+    # token emits the remaining 0 literals via litLen=7 escape of... use a
+    # 2nd literal run of 7 bytes instead.
+    tail = b"0123456"
+    # token2 uses the 7<<5 escape, so its literal length (7 = 7+0) carries
+    # an explicit escape byte 0 before its literals
+    literals_section = bytes([19]) + lits + bytes([0]) + tail
+    tokens = bytes([0xEC, (7 << 5) | 0x00])
+    dists = bytes([8])
+    lit_end = 13 + len(literals_section)
+    payload = (lit_end.to_bytes(4, "little")
+               + len(tokens).to_bytes(4, "little")
+               + len(dists).to_bytes(4, "little")
+               + bytes([0])                 # flags: maxDist1, minMatch 4
+               + literals_section + tokens + dists)
+    out = native.transform_inverse(
+        3, np.frombuffer(payload, np.uint8), {"bsVersion": 5}, 1 << 16)
+    expected = bytearray(lits)
+    start = len(expected) - 8
+    for i in range(16):                     # match: dist 8, len 16
+        expected.append(expected[start + i])
+    expected += tail
+    assert bytes(out) == bytes(expected)
+    # the token2 mLen bits (0) are not consumed: decode stops after literals
+
+
+def test_v5_text2_old_word_index():
+    """v5 codec-2 word index: 0x80|idx (no -1 adjust) must decode the same
+    dictionary word as the v6 byte 0x80|(idx+1) (which adjusts by -1)."""
+    for idx in (1, 5, 30):
+        v5_payload = bytes([0x00, 0x80 | idx, ord(" "), ord("x")])
+        v6_payload = bytes([0x00, 0x80 | (idx + 1), ord(" "), ord("x")])
+        ctx5 = {"bsVersion": 5, "textcodec": 2, "entropy": "HUFFMAN"}
+        ctx6 = {"bsVersion": 6, "textcodec": 2, "entropy": "HUFFMAN"}
+        out5 = native.transform_inverse(
+            10, np.frombuffer(v5_payload, np.uint8), ctx5, 1 << 12)
+        out6 = native.transform_inverse(
+            10, np.frombuffer(v6_payload, np.uint8), ctx6, 1 << 12)
+        assert bytes(out5) == bytes(out6)
+        assert len(bytes(out5)) > 2   # a real word came out
+
+
+def test_pre_v5_still_refused():
+    blob = bytearray(compress_v5_huffman(b"x" * 100, block_size=65536))
+    # patch the version nibble from 5 to 4 (top nibble of byte 4) and fix
+    # nothing else: header CRC differs per version, so parsing fails either
+    # way — but the error must be the version error, checked before CRC
+    blob[4] = (blob[4] & 0x0F) | (4 << 4)
+    with pytest.raises(kanzi_tpu.KanziError) as e:
+        kanzi_tpu.decompress(bytes(blob))
+    assert e.value.code == ERR_STREAM_VERSION
