@@ -90,3 +90,26 @@ def test_device_huffman_decode_matches_input():
         host = native.entropy_decode(1, payload, len(data), {"bsVersion": 6})
         assert host == data, f"{name}: host decode broken"
         assert dev == data, f"{name}: device decode mismatch"
+
+
+@pytest.mark.slow
+def test_batched_fpaq_device_byte_identity():
+    """The batched-scalar binary-coder prototype (SURVEY §7.0's hard
+    thesis): B independent FPAQ streams in lockstep, exact u64 limb
+    arithmetic. Byte-identical to the host coder; the measured throughput
+    on the real chip (docs/ARCHITECTURE.md) retired the thesis."""
+    import random
+    from kanzi_tpu.ops.fpaq_batch import fpaq_encode_device_batch
+    rng = random.Random(2)
+    blocks = [
+        open("/root/repo/SURVEY.md", "rb").read()[:2000],
+        os.urandom(1000),
+        bytes(rng.randrange(8) for _ in range(1500)),
+        b"\x55" * 500,
+        os.urandom(64),
+    ]
+    outs = fpaq_encode_device_batch(blocks)
+    for b, (payload, bits) in zip(blocks, outs):
+        host, hbits = native.entropy_encode(
+            2, np.frombuffer(b, np.uint8), {"bsVersion": 6})
+        assert payload == host and bits == hbits, len(b)
