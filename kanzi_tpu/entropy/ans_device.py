@@ -99,6 +99,59 @@ class DeviceANSEngine:
                                    dst, dst_off)
 
 
+def ans_decode_device(payload, out_len: int, order: int) -> bytes:
+    """Decode an ANS payload with the device pipeline: host parses headers
+    into freq->symbol maps and (cumFreq,freq) tables (kz_ans_dec_prepare);
+    the TPU runs the 4-state forward decode for all chunks in one batched
+    scan (ops.ans.decode_chunks); the host reassembles positions and tails.
+    Byte-identical to the host decoder (tested)."""
+    if out_len == 0:
+        return b""
+    src = np.frombuffer(payload, dtype=np.uint8) \
+        if not isinstance(payload, np.ndarray) else payload
+    if out_len <= 32:   # raw small block
+        return src[:out_len].tobytes()
+    dtabs, f2s, states, bufs, buf_sz, flags, aux = \
+        native.ans_dec_prepare(src, out_len, order)
+    chunk = native.ANS1_CHUNK if order == 1 else native.ANS0_CHUNK
+    lr = 11 if order == 1 else 12
+    dev = np.nonzero(flags == 0)[0]
+    out = np.empty(out_len, dtype=np.uint8)
+    if len(dev):
+        sizes = np.minimum(chunk, out_len - dev * chunk)
+        end4 = sizes & ~3
+        ngroups = (end4 // 4).astype(np.int32)
+        glen = int(ngroups.max())
+        syms, nread = ops_ans.decode_chunks(
+            bufs[dev], states[dev], f2s[dev], dtabs[dev], ngroups,
+            order, lr, glen)
+        syms = np.asarray(syms)
+        nread = np.asarray(nread)
+        for r, c in enumerate(dev):
+            start = int(c) * chunk
+            size = int(sizes[r])
+            e4 = size & ~3
+            g = e4 // 4
+            if order == 0:
+                # group g -> block[4g..4g+3] = states 3,2,1,0
+                out[start:start + e4] = \
+                    syms[r, :g, ::-1].reshape(-1)
+            else:
+                q = e4 >> 2
+                for j in range(4):
+                    out[start + j * q:start + (j + 1) * q] = syms[r, :q, j]
+            tail = size - e4
+            if tail:
+                nf = int(nread[r])
+                out[start + e4:start + size] = bufs[dev[r], nf:nf + tail]
+    for c in range(len(flags)):
+        if flags[c] == 2:
+            start = c * chunk
+            size = min(chunk, out_len - start)
+            out[start:start + size] = aux[c]
+    return out.tobytes()
+
+
 def ans_encode_device(buf, order: int) -> tuple[bytes, int]:
     """Encode one block with the device pipeline. Returns (payload, bits)."""
     src = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf

@@ -110,6 +110,12 @@ def get_lib():
         lib.kz_ans_prepare.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+        lib.kz_ans_dec_prepare.restype = ctypes.c_int
+        lib.kz_ans_dec_prepare.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
         lib.kz_ans_assemble.restype = ctypes.c_int64
         lib.kz_ans_assemble.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
@@ -412,6 +418,39 @@ def ans_prepare(data, order: int):
     if c < 0:
         raise RuntimeError(f"ans prepare failed (err={c})")
     return tables[:c], hdr[:c], hdr_bits[:c], flags[:c]
+
+
+def ans_dec_prepare(payload, out_len: int, order: int):
+    """Parse an ANS entropy payload into device-decodable pieces.
+
+    Returns (dtabs (C,2,dim*256) int32 [freq, cumFreq], f2s (C, dim*2^lr)
+    uint8, states (C,4) int32, bufs (C, stride) uint8 zero-guarded renorm
+    streams, buf_sz (C,) int32, flags (C,) uint8, aux (C,) uint8).
+    Raises on non-default logRange (caller falls back to host)."""
+    lib = get_lib()
+    src = _as_buf(payload)
+    chunk = ANS1_CHUNK if order == 1 else ANS0_CHUNK
+    dim = 256 if order == 1 else 1
+    lr = 11 if order == 1 else 12
+    nchunks = max((out_len + chunk - 1) // chunk, 1)
+    buf_stride = min(2 * chunk, 2 * out_len if out_len else 256) + 256
+    f2s_stride = dim * (1 << lr)
+    dtabs = np.zeros((nchunks, 2, dim * 256), dtype=np.int32)
+    f2s = np.zeros((nchunks, f2s_stride), dtype=np.uint8)
+    states = np.zeros((nchunks, 4), dtype=np.int32)
+    bufs = np.zeros((nchunks, buf_stride), dtype=np.uint8)
+    buf_sz = np.zeros(nchunks, dtype=np.int32)
+    flags = np.zeros(nchunks, dtype=np.uint8)
+    aux = np.zeros(nchunks, dtype=np.uint8)
+    c = lib.kz_ans_dec_prepare(src.ctypes.data, len(src), out_len, order,
+                               dtabs.ctypes.data, f2s.ctypes.data, f2s_stride,
+                               states.ctypes.data, bufs.ctypes.data,
+                               buf_stride, buf_sz.ctypes.data,
+                               flags.ctypes.data, aux.ctypes.data)
+    if c < 0:
+        raise RuntimeError(f"ans decode prepare failed (err={c})")
+    return (dtabs[:c], f2s[:c], states[:c], bufs[:c], buf_sz[:c], flags[:c],
+            aux[:c])
 
 
 def ans_assemble(block: np.ndarray, order: int, hdr: np.ndarray,

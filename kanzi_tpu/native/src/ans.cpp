@@ -252,6 +252,57 @@ class ANSEncoder {
     std::vector<u8> buffer_;
 };
 
+// One chunk's decode tables from the bitstream: 3-bit logRange + per-context
+// alphabet/frequency headers -> freq->symbol map + (cumFreq, freq) tables.
+// Shared by the host decoder and the device-engine decode prepare.
+static int ansDecodeHeaderTables(IBS& ibs, int order, u32& logRange,
+                                 i32* freqs, DecSymbol* symbols,
+                                 std::vector<u8>& f2s, int* alphabet) {
+    logRange = 8 + (u32)ibs.readBits(3);
+    if (logRange > 16) throw Error("invalid ANS range");
+    int res = 0;
+    int dim = 255 * order + 1;
+    int scale = 1 << logRange;
+    f2s.resize((size_t)dim * scale);
+    u32 llr = 3;
+    while ((1u << llr) <= logRange) llr++;
+    for (int k = 0; k < dim; k++) {
+        int alphabetSize = decodeAlphabet(ibs, alphabet);
+        if (alphabetSize == 0) continue;
+        i32* f = freqs + ((size_t)k << 8);
+        if (alphabetSize != 256) std::memset(f, 0, 256 * sizeof(i32));
+        int chkSize = alphabetSize < 64 ? 6 : 8;
+        int sum = 0;
+        for (int i = 1; i < alphabetSize; i += chkSize) {
+            u32 logMax = (u32)ibs.readBits(llr);
+            if (((i64)1 << logMax) > scale) throw Error("invalid ANS frequency size");
+            int endj = std::min(i + chkSize, alphabetSize);
+            for (int j = i; j < endj; j++) {
+                int freq = 1;
+                if (logMax > 0) {
+                    freq = 1 + (int)ibs.readBits(logMax);
+                    if (freq <= 0 || freq >= scale) throw Error("invalid ANS frequency");
+                }
+                f[alphabet[j]] = freq;
+                sum += freq;
+            }
+        }
+        if (scale <= sum) throw Error("invalid ANS frequency sum");
+        f[alphabet[0]] = scale - sum;
+        sum = 0;
+        DecSymbol* symb = symbols + ((size_t)k << 8);
+        u8* freq2sym = f2s.data() + ((size_t)k << logRange);
+        for (int i = 0; i < 256; i++) {
+            if (f[i] == 0) continue;
+            for (int j = f[i] - 1; j >= 0; j--) freq2sym[sum + j] = (u8)i;
+            symb[i].reset(sum, f[i], logRange);
+            sum += f[i];
+        }
+        res += alphabetSize;
+    }
+    return res;
+}
+
 class ANSDecoder {
   public:
     ANSDecoder(IBS& ibs, int order, int chunkSizeArg = 0) : ibs_(ibs), order_(order) {
@@ -287,49 +338,8 @@ class ANSDecoder {
 
   private:
     int decodeHeader(int* alphabet) {
-        logRange_ = 8 + (u32)ibs_.readBits(3);
-        if (logRange_ > 16) throw Error("invalid ANS range");
-        int res = 0;
-        int dim = 255 * order_ + 1;
-        int scale = 1 << logRange_;
-        f2s_.resize((size_t)dim * scale);
-        u32 llr = 3;
-        while ((1u << llr) <= logRange_) llr++;
-        for (int k = 0; k < dim; k++) {
-            int alphabetSize = decodeAlphabet(ibs_, alphabet);
-            if (alphabetSize == 0) continue;
-            i32* f = freqs_.data() + ((size_t)k << 8);
-            if (alphabetSize != 256) std::memset(f, 0, 256 * sizeof(i32));
-            int chkSize = alphabetSize < 64 ? 6 : 8;
-            int sum = 0;
-            for (int i = 1; i < alphabetSize; i += chkSize) {
-                u32 logMax = (u32)ibs_.readBits(llr);
-                if (((i64)1 << logMax) > scale) throw Error("invalid ANS frequency size");
-                int endj = std::min(i + chkSize, alphabetSize);
-                for (int j = i; j < endj; j++) {
-                    int freq = 1;
-                    if (logMax > 0) {
-                        freq = 1 + (int)ibs_.readBits(logMax);
-                        if (freq <= 0 || freq >= scale) throw Error("invalid ANS frequency");
-                    }
-                    f[alphabet[j]] = freq;
-                    sum += freq;
-                }
-            }
-            if (scale <= sum) throw Error("invalid ANS frequency sum");
-            f[alphabet[0]] = scale - sum;
-            sum = 0;
-            DecSymbol* symb = symbols_.data() + ((size_t)k << 8);
-            u8* freq2sym = f2s_.data() + ((size_t)k << logRange_);
-            for (int i = 0; i < 256; i++) {
-                if (f[i] == 0) continue;
-                for (int j = f[i] - 1; j >= 0; j--) freq2sym[sum + j] = (u8)i;
-                symb[i].reset(sum, f[i], logRange_);
-                sum += f[i];
-            }
-            res += alphabetSize;
-        }
-        return res;
+        return ansDecodeHeaderTables(ibs_, order_, logRange_, freqs_.data(),
+                                     symbols_.data(), f2s_, alphabet);
     }
 
     inline void decodeSymbol(i64& n, int& st, const DecSymbol& sym, int mask) {
@@ -491,6 +501,75 @@ extern "C" int kz_ans_prepare(const uint8_t* block, int64_t len, int order,
                 t[2 * dim * 256 + i] = symbols[i].cmplFreq;
                 t[3 * dim * 256 + i] = (i32)symbols[i].invShift;
                 t[4 * dim * 256 + i] = (i32)(u32)symbols[i].invFreq;
+            }
+            startChunk = endChunk;
+            c++;
+        }
+        return c;
+    } catch (const std::exception&) {
+        return -1;
+    }
+}
+
+// Decode-side device split: parse an ANS payload's chunk structure on the
+// host (frequency headers -> freq->symbol maps + (cumFreq,freq) tables,
+// varint sizes, initial states, renorm byte streams) so the 4-state forward
+// decode can run batched on the TPU (kanzi_tpu/ops/ans.py decode_chunks).
+// flags: 0 = device chunk, 2 = order-0 single-symbol chunk (value in aux).
+// Returns the chunk count, or -2 if a chunk uses a non-default logRange
+// (caller falls back to the host decoder).
+extern "C" int kz_ans_dec_prepare(const uint8_t* payload, int64_t payloadBytes,
+                                  int64_t outLen, int order,
+                                  int32_t* dtabs, uint8_t* f2s, int64_t f2sStride,
+                                  int32_t* states, uint8_t* bufs,
+                                  int64_t bufStride, int32_t* bufSz,
+                                  uint8_t* flags, uint8_t* aux) {
+    try {
+        using namespace kz;
+        int chunkSize = order == 1
+            ? std::min(ANS0_CHUNK_SIZE << 8, ANS_MAX_CHUNK_SIZE)
+            : ANS0_CHUNK_SIZE;
+        u32 expectLr = std::max(ANS_DEFAULT_LOG_RANGE - (u32)order, 8u);
+        size_t dim = order == 1 ? 256 : 1;
+        IBS ibs(payload, payloadBytes);
+        std::vector<i32> freqs(dim * 256);
+        std::vector<DecSymbol> symbols(dim * 256);
+        std::vector<u8> f2sLocal;
+        int alphabet[256];
+        int c = 0;
+        i64 startChunk = 0;
+        while (startChunk < outLen) {
+            i64 endChunk = std::min(startChunk + (i64)chunkSize, outLen);
+            i64 len = endChunk - startChunk;
+            u32 logRange = 0;
+            std::memset(symbols.data(), 0, symbols.size() * sizeof(DecSymbol));
+            int alpha = ansDecodeHeaderTables(ibs, order, logRange,
+                                              freqs.data(), symbols.data(),
+                                              f2sLocal, alphabet);
+            if (alpha == 0) return -3;
+            if (logRange != expectLr) return -2;
+            if ((i64)f2sLocal.size() > f2sStride) return -4;
+            if (order == 0 && alpha == 1) {
+                flags[c] = 2;
+                aux[c] = (u8)alphabet[0];
+            } else {
+                flags[c] = 0;
+                std::memcpy(f2s + (size_t)c * f2sStride, f2sLocal.data(),
+                            f2sLocal.size());
+                i32* t = dtabs + (size_t)c * 2 * dim * 256;
+                for (size_t i = 0; i < dim * 256; i++) {
+                    t[i] = symbols[i].freq;
+                    t[dim * 256 + i] = symbols[i].cumFreq;
+                }
+                u32 sz = readVarInt(ibs);
+                if (sz >= ANS_MAX_CHUNK_SIZE) return -5;
+                for (int j = 0; j < 4; j++)
+                    states[4 * c + j] = (i32)ibs.readBits(32);
+                if ((i64)sz + 64 > bufStride) return -6;
+                if ((i64)sz > std::max((i64)2 * len, (i64)256)) return -5;
+                ibs.readArray(bufs + (size_t)c * bufStride, 8 * (u64)sz);
+                std::memset(bufs + (size_t)c * bufStride + sz, 0, 64);
+                bufSz[c] = (i32)sz;
             }
             startChunk = endChunk;
             c++;

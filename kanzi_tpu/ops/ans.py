@@ -110,6 +110,64 @@ def encode_chunks(syms: jax.Array, ngroups: jax.Array,
     return out, total, states
 
 
+@functools.partial(jax.jit, static_argnames=("order", "lr", "glen"))
+def decode_chunks(bufs: jax.Array, states0: jax.Array, f2s: jax.Array,
+                  dtabs: jax.Array, ngroups: jax.Array, order: int,
+                  lr: int, glen: int) -> tuple[jax.Array, jax.Array]:
+    """4-state forward rANS decode for a batch of chunks.
+
+    bufs:    (B, S)           uint8  renorm byte streams (64-byte zero guard)
+    states0: (B, 4)           int32  initial states (j = 0..3)
+    f2s:     (B, dim*2^lr)    uint8  freq slot -> symbol, per context
+    dtabs:   (B, 2, dim*256)  int32  planes: freq, cumFreq
+    ngroups: (B,)             int32  symbol groups per chunk
+
+    Returns (syms (B, G, 4) uint8 with column j = state j's symbol in group
+    g, nread (B,) int32 bytes consumed — the chunk's raw tail starts there).
+    Decode consumption order within a group is state 3, 2, 1, 0 (reference
+    v2/entropy/ANSRangeCodec.go:904-948).
+    """
+    B, _ = bufs.shape
+    mask = (1 << lr) - 1
+    top = jnp.uint32(ANS_TOP)
+    freq = dtabs[:, 0].astype(jnp.uint32)
+    cum = dtabs[:, 1].astype(jnp.uint32)
+    bufs32 = bufs.astype(jnp.uint32)
+    f2s32 = f2s.astype(jnp.int32)
+
+    def step(carry, valid):
+        st, n, prv = carry                  # (B,4) u32, (B,) i32, (B,4) i32
+        syms = []
+        for j in (3, 2, 1, 0):
+            st_j = st[:, j]
+            ctx = prv[:, j] if order == 1 else jnp.zeros(B, jnp.int32)
+            slot = (st_j & mask).astype(jnp.int32)
+            sym = jnp.take_along_axis(
+                f2s32, (ctx * (mask + 1) + slot)[:, None], axis=1)[:, 0]
+            ti = (ctx * 256 + sym)[:, None]
+            f = jnp.take_along_axis(freq, ti, axis=1)[:, 0]
+            cf = jnp.take_along_axis(cum, ti, axis=1)[:, 0]
+            stn = f * (st_j >> lr) + slot.astype(jnp.uint32) - cf
+            flag = (stn < top) & valid
+            b0 = jnp.take_along_axis(bufs32, n[:, None], axis=1)[:, 0]
+            b1 = jnp.take_along_axis(bufs32, n[:, None] + 1, axis=1)[:, 0]
+            stn = jnp.where(flag, (stn << 16) | (b0 << 8) | b1, stn)
+            n = n + 2 * flag.astype(jnp.int32)
+            st = st.at[:, j].set(jnp.where(valid, stn, st_j))
+            if order == 1:
+                prv = prv.at[:, j].set(jnp.where(valid, sym, prv[:, j]))
+            syms.append(jnp.where(valid, sym, 0).astype(jnp.uint8))
+        out = jnp.stack([syms[3], syms[2], syms[1], syms[0]], axis=1)  # col j
+        return (st, n, prv), out
+
+    valid = (jnp.arange(glen, dtype=jnp.int32)[:, None]
+             < ngroups[None, :])
+    init = (states0.astype(jnp.uint32), jnp.zeros(B, jnp.int32),
+            jnp.zeros((B, 4), jnp.int32))
+    (st, n, prv), syms = jax.lax.scan(step, init, valid)
+    return jnp.swapaxes(syms, 0, 1), n
+
+
 def build_syms_order0(chunk: np.ndarray) -> np.ndarray:
     """(G, 4) int32 symbol matrix for an order-0 chunk (host-side numpy)."""
     end4 = len(chunk) & ~3

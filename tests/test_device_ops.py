@@ -113,3 +113,21 @@ def test_batched_fpaq_device_byte_identity():
         host, hbits = native.entropy_encode(
             2, np.frombuffer(b, np.uint8), {"bsVersion": 6})
         assert payload == host and bits == hbits, len(b)
+
+
+@pytest.mark.slow
+def test_device_ans_decode_matches_input():
+    """Device 4-state forward rANS decode (ops.ans.decode_chunks). Cases
+    share one shape so the scan compiles once per order."""
+    from kanzi_tpu.entropy.ans_device import ans_decode_device
+    rng = random.Random(9)
+    cases = [
+        bytes(rng.randrange(8) for _ in range(12000)),
+        bytes(rng.choice(b"aaaabbbccd") for _ in range(12000)),
+        os.urandom(12000),
+    ]
+    for order, et in ((0, 5), (1, 8)):
+        for data in cases:
+            payload, _ = native.entropy_encode(
+                et, np.frombuffer(data, np.uint8), {"bsVersion": 6})
+            assert ans_decode_device(payload, len(data), order) == data
