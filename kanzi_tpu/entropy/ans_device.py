@@ -99,6 +99,10 @@ class DeviceANSEngine:
                                    dst, dst_off)
 
 
+# mesh override: parallel.mesh_reader installs a sharded decode kernel here
+decode_chunks_override = None
+
+
 def ans_decode_device(payload, out_len: int, order: int) -> bytes:
     """Decode an ANS payload with the device pipeline: host parses headers
     into freq->symbol maps and (cumFreq,freq) tables (kz_ans_dec_prepare);
@@ -122,9 +126,9 @@ def ans_decode_device(payload, out_len: int, order: int) -> bytes:
         end4 = sizes & ~3
         ngroups = (end4 // 4).astype(np.int32)
         glen = int(ngroups.max())
-        syms, nread = ops_ans.decode_chunks(
-            bufs[dev], states[dev], f2s[dev], dtabs[dev], ngroups,
-            order, lr, glen)
+        decode = decode_chunks_override or ops_ans.decode_chunks
+        syms, nread = decode(bufs[dev], states[dev], f2s[dev], dtabs[dev],
+                             ngroups, order, lr, glen)
         syms = np.asarray(syms)
         nread = np.asarray(nread)
         for r, c in enumerate(dev):

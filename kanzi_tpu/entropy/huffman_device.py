@@ -100,6 +100,10 @@ class DeviceHuffmanEngine:
                                        lane_bytes, nbits, dst, dst_off)
 
 
+# mesh override: parallel.mesh_reader installs a sharded decode kernel here
+decode_lanes_override = None
+
+
 def huffman_decode_device(payload, out_len: int) -> bytes:
     """Decode a Huffman entropy payload with the device pipeline: the host
     parses chunk headers and builds the 4096-entry decode tables
@@ -117,7 +121,8 @@ def huffman_decode_device(payload, out_len: int) -> bytes:
     if len(lanes):
         dev_chunks = np.nonzero(flags == 0)[0].astype(np.int32)
         table_idx = np.repeat(dev_chunks, 4)
-        syms = np.asarray(ops_huffman.decode_lanes(lanes, table_idx, dtables))
+        decode = decode_lanes_override or ops_huffman.decode_lanes
+        syms = np.asarray(decode(lanes, table_idx, dtables))
     else:
         syms = None
     out = np.empty(out_len, dtype=np.uint8)

@@ -850,8 +850,11 @@ class Reader:
 
         if self._fast is None:
             # freeze the path on the first block so output ordering is
-            # consistent even if listeners are mutated mid-stream
-            self._fast = self._use_native and not self.listeners
+            # consistent even if listeners are mutated mid-stream; a device
+            # decode request routes through the Python payload path (the
+            # device entropy engines live there)
+            self._fast = (self._use_native and not self.listeners
+                          and not self.ctx.get("useDevice"))
         if self._fast:
             # fully-native path: decode straight from the stream buffer into
             # the (single) output buffer — zero Python-side byte handling
@@ -916,9 +919,9 @@ class Reader:
                     (to is not None and self._block_id >= to):
                 continue
             frames.append((pos, self._block_id))
-        if frames and int(self.ctx.get("bsVersion", BITSTREAM_FORMAT_VERSION)) < 6:
+        if frames and int(self.ctx.get("bsVersion", BITSTREAM_FORMAT_VERSION)) < 5:
             raise KanziError(
-                "Legacy bitstream payloads (version < 6) are not supported",
+                "Legacy bitstream payloads (version < 5) are not supported",
                 ERR_STREAM_VERSION)
         if not frames:
             return more
@@ -956,7 +959,8 @@ class Reader:
         if not self._initialized:
             self._read_header()
         if self._fast is None:
-            self._fast = self._use_native and not self.listeners
+            self._fast = (self._use_native and not self.listeners
+                          and not self.ctx.get("useDevice"))
         use_batch = (self._fast and self._pool is not None and self.jobs > 1)
         while not self._eos and (
                 n < 0 or self._available() < n):

@@ -25,6 +25,12 @@ def compress_multiproc(*args, **kwargs):
     return _impl(*args, **kwargs)
 
 
+def decompress_multiproc(*args, **kwargs):
+    """Multi-process block decompression (see parallel.multiproc)."""
+    from .multiproc import decompress_multiproc as _impl
+    return _impl(*args, **kwargs)
+
+
 def device_mesh(n_devices: int | None = None) -> Mesh:
     """1-D mesh over the 'blocks' axis."""
     devs = jax.devices()
@@ -149,6 +155,94 @@ def mesh_writer(mesh: Mesh, **writer_kwargs):
     return w
 
 
+def shard_huffman_decode(mesh: Mesh):
+    """Mesh-sharded device Huffman decode: lane rows shard, decode tables
+    replicate (lane rows gather from arbitrary table rows)."""
+    row = NamedSharding(mesh, P("blocks"))
+    row2 = NamedSharding(mesh, P("blocks", None))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(ops_huffman.decode_lanes,
+                   in_shardings=(row2, row, repl), out_shardings=row2)
+
+
+class mesh_decode_session:
+    """Context manager routing the device entropy decoders through
+    mesh-sharded kernels (the decode-side mirror of mesh_writer): Huffman
+    lane rows and ANS chunk rows spread across the 'blocks' axis via the
+    modules' decode override hooks; inverse transforms and checksums stay
+    on host."""
+
+    def __init__(self, mesh: Mesh):
+        from ..ops import ans as ops_ans
+
+        n_dev = int(mesh.devices.size)
+        mesh_hdec = shard_huffman_decode(mesh)
+
+        def padded_decode_lanes(lanes, table_idx, dtables):
+            L = len(lanes)
+            pad = (-L) % n_dev
+            syms = mesh_hdec(_pad_rows(np.ascontiguousarray(lanes), pad),
+                             _pad_rows(np.ascontiguousarray(table_idx), pad),
+                             dtables)
+            return np.asarray(syms)[:L]
+
+        row = NamedSharding(mesh, P("blocks"))
+        row2 = NamedSharding(mesh, P("blocks", None))
+        mesh_adec = jax.jit(ops_ans.decode_chunks,
+                            static_argnames=("order", "lr", "glen"),
+                            in_shardings=(row2, row2, row2,
+                                          NamedSharding(mesh, P("blocks", None, None)),
+                                          row),
+                            out_shardings=(NamedSharding(mesh, P("blocks", None, None)),
+                                           row))
+
+        def padded_decode_chunks(bufs, states, f2s, dtabs, ngroups,
+                                 order, lr, glen):
+            B = len(bufs)
+            pad = (-B) % n_dev
+            syms, nread = mesh_adec(
+                _pad_rows(np.ascontiguousarray(bufs), pad),
+                _pad_rows(np.ascontiguousarray(states), pad),
+                _pad_rows(np.ascontiguousarray(f2s), pad),
+                _pad_rows(np.ascontiguousarray(dtabs), pad),
+                _pad_rows(np.ascontiguousarray(ngroups), pad),
+                order, lr, glen)
+            return np.asarray(syms)[:B], np.asarray(nread)[:B]
+
+        self._hfn = padded_decode_lanes
+        self._afn = padded_decode_chunks
+
+    def __enter__(self):
+        from ..entropy import huffman_device, ans_device
+        self._mods = (huffman_device, ans_device)
+        huffman_device.decode_lanes_override = self._hfn
+        ans_device.decode_chunks_override = self._afn
+        return self
+
+    def __exit__(self, *a):
+        hd, ad = self._mods
+        hd.decode_lanes_override = None
+        ad.decode_chunks_override = None
+
+
+def decompress_multichip(blob, mesh: Mesh) -> bytes:
+    """Decode a KANZ stream with the entropy stage sharded over the mesh;
+    byte-identical to the single-host decode (tested)."""
+    import io as _io
+
+    from ..kio import Reader
+
+    r = Reader(_io.BytesIO(bytes(blob)), ctx={"useDevice": True})
+    with mesh_decode_session(mesh):
+        out = bytearray()
+        while True:
+            c = r.read(1 << 20)
+            if not c:
+                break
+            out += c
+    return bytes(out)
+
+
 def compress_multichip(data, mesh: Mesh, transform: str = "LZ",
                        entropy: str = "HUFFMAN",
                        block_size: int = 1 << 20, checksum: int = 0) -> bytes:
@@ -201,6 +295,8 @@ def dryrun_multichip(n_devices: int) -> None:
                                   checksum=32)
         assert blob == host, f"{transform}&{entropy}: mesh stream != host"
         assert kanzi_tpu.decompress(blob) == corpus
+        # the decode-side mirror: entropy stage sharded over the mesh
+        assert decompress_multichip(blob, mesh) == corpus
 
     # collective plumbing smoke (psum over the mesh)
     B = n_devices * 2

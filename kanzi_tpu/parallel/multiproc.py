@@ -101,3 +101,86 @@ def compress_multiproc(data, transform: str = "NONE", entropy: str = "NONE",
         shm.close()
     w.close()
     return w.getvalue()
+
+
+def _decode_span(args):
+    """Worker: decode frames [i0:i1) of the shared stream. Frames are
+    (bit_pos, block_id) pairs; returns the decoded bytes in block order."""
+    (shm_name, total_len, frames, chain, etype, checksum_bits, block_size,
+     ctx) = args
+    from multiprocessing import shared_memory
+    shm = shared_memory.SharedMemory(name=shm_name)
+    try:
+        src = np.ndarray((total_len,), dtype=np.uint8, buffer=shm.buf)
+        out = bytearray()
+        dst = np.empty(block_size, dtype=np.uint8)
+        for pos, _block_id in frames:
+            n = native.block_decode(src, pos >> 3, pos & 7, chain, etype,
+                                    dict(ctx), checksum_bits, block_size,
+                                    dst, 0, block_size)
+            out += dst[:n].tobytes()
+        return bytes(out)
+    finally:
+        shm.close()
+
+
+def decompress_multiproc(blob, procs: int = 2) -> bytes:
+    """Decompress with `procs` worker processes: the parent parses the
+    header and walks the frame lengths serially (no payload decode — the
+    reference's serialized frame reads, v2/io/CompressedStream.go:1798-1856),
+    then workers decode contiguous frame spans concurrently and the parent
+    concatenates in block order. Byte-identical to single-process decode."""
+    import multiprocessing as mp
+    from concurrent.futures import ProcessPoolExecutor
+    from multiprocessing import shared_memory
+
+    from ..kio import Reader
+    import io as _io
+
+    if not native.available():
+        raise RuntimeError("multi-process decompression requires the native runtime")
+    blob = bytes(blob)
+
+    # parse the header with the Reader machinery (validates magic/CRC and
+    # yields the first frame's bit position), then walk the frame lengths
+    # with an independent cursor over the raw blob — no payload decode
+    from ..bitstream import BitReader
+
+    r = Reader(_io.BytesIO(blob))
+    r._read_header()
+    br = BitReader(blob)
+    br._pos = r._br._pos
+    frames = []
+    block_id = 0
+    while True:
+        lw = br.read_bits(5) + 3
+        bits = br.read_bits(lw)
+        if bits == 0:
+            break
+        block_id += 1
+        frames.append((br._pos, block_id))
+        br._pos += bits
+    if not frames:
+        return b""
+
+    procs = max(1, min(procs, len(frames)))
+    per = (len(frames) + procs - 1) // procs
+    shm = shared_memory.SharedMemory(create=True, size=max(len(blob), 1))
+    try:
+        np.ndarray((len(blob),), dtype=np.uint8, buffer=shm.buf)[:] = \
+            np.frombuffer(blob, dtype=np.uint8)
+        spans = []
+        for p in range(procs):
+            chunk = frames[p * per:(p + 1) * per]
+            if not chunk:
+                break
+            spans.append((shm.name, len(blob), chunk, r.transform_type,
+                          r.entropy_type, r.checksum_bits, r.block_size,
+                          dict(r.ctx)))
+        with ProcessPoolExecutor(max_workers=len(spans),
+                                 mp_context=mp.get_context("spawn")) as pool:
+            results = list(pool.map(_decode_span, spans))
+        return b"".join(results)
+    finally:
+        shm.unlink()
+        shm.close()

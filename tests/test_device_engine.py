@@ -90,3 +90,35 @@ def test_device_ans_engine_stream_identity(entropy, transform, block_size):
     dev = w.getvalue()
     assert dev == host
     assert kanzi_tpu.decompress(dev) == data
+
+
+def test_device_reader_decode_identity():
+    """Reader ctx useDevice routes entropy decode through the device
+    kernels; output must match host decode exactly."""
+    import io
+    from kanzi_tpu.kio import Reader
+    data = _mixed_corpus(500000)
+    for entropy in ("HUFFMAN", "ANS0", "ANS1"):
+        blob = kanzi_tpu.compress(data, transform="LZ", entropy=entropy,
+                                  block_size=131072, checksum=32)
+        r = Reader(io.BytesIO(blob), ctx={"useDevice": True})
+        out = bytearray()
+        while True:
+            c = r.read(1 << 20)
+            if not c:
+                break
+            out += c
+        assert bytes(out) == data, entropy
+
+
+def test_mesh_decompress_identity():
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 (virtual) devices")
+    from kanzi_tpu import parallel
+    mesh = parallel.device_mesh(4)
+    data = _mixed_corpus(400000)
+    for entropy in ("HUFFMAN", "ANS0"):
+        blob = kanzi_tpu.compress(data, transform="LZ", entropy=entropy,
+                                  block_size=65536, checksum=32)
+        assert parallel.decompress_multichip(blob, mesh) == data

@@ -37,3 +37,16 @@ def test_multiproc_edge_sizes():
         multi = compress_multiproc(data, transform="LZ", entropy="NONE",
                                    block_size=16384, procs=2)
         assert multi == single, n
+
+
+def test_multiproc_decompress_roundtrip():
+    from kanzi_tpu.parallel import decompress_multiproc
+    rng = np.random.default_rng(23)
+    data = (b"multi process decode stripes " * 20000 +
+            rng.integers(0, 256, 200000, dtype=np.uint8).tobytes())
+    for transform, entropy in (("LZ", "HUFFMAN"), ("BWT+MTFT+ZRLT", "ANS0")):
+        blob = kanzi_tpu.compress(data, transform=transform, entropy=entropy,
+                                  block_size=131072, checksum=32)
+        out = decompress_multiproc(blob, procs=3)
+        assert out == data
+        assert out == kanzi_tpu.decompress(blob)
