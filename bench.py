@@ -101,7 +101,11 @@ def bench_device_kernel():
 
     Returns (compute-only bytes/s, with-readback bytes/s, device name).
     Compute-only reflects co-located deployments where results stream onward
-    on-device; with-readback is what this tunnel environment pays."""
+    on-device; with-readback is what this tunnel environment pays. Timings
+    always end in a device_get: under the tunneled 'axon' platform,
+    block_until_ready alone does not reliably synchronize, so compute-only
+    is derived from the DIFFERENCE of an N-iteration and a 1-iteration run
+    (each ending in one readback)."""
     try:
         import jax
         from kanzi_tpu.ops import huffman as oh
@@ -112,21 +116,71 @@ def bench_device_kernel():
         tidx = np.zeros(L, dtype=np.int32)
         tables = ((8 << 12) | np.arange(256, dtype=np.int32))[None, :]
         fn = jax.jit(oh.pack_lanes)
-        out = fn(syms, lane_len, tidx, tables)
-        jax.block_until_ready(out)  # compile
-        iters = 4
-        t = time.perf_counter()
-        for _ in range(iters):
-            out = fn(syms, lane_len, tidx, tables)
-        jax.block_until_ready(out)
-        compute = iters * L * oh.FRAG / (time.perf_counter() - t)
-        t = time.perf_counter()
-        out = fn(syms, lane_len, tidx, tables)
-        _ = (np.asarray(out[0]), np.asarray(out[1]))
-        readback = L * oh.FRAG / (time.perf_counter() - t)
+        jax.device_get(fn(syms, lane_len, tidx, tables))  # compile
+
+        def run(iters):
+            t = time.perf_counter()
+            for _ in range(iters):
+                out = fn(syms, lane_len, tidx, tables)
+            jax.device_get(out)
+            return time.perf_counter() - t
+
+        t1 = run(1)
+        tn = run(5)
+        compute = 4 * L * oh.FRAG / max(tn - t1, 1e-9)
+        readback = L * oh.FRAG / t1
         return compute, readback, str(jax.devices()[0])
     except Exception as e:  # pragma: no cover
         return 0.0, 0.0, f"unavailable: {e}"
+
+
+def bench_device_ans():
+    """Device rANS encode + decode compute throughput (bytes/s), batch of
+    128 chunks (2 MiB), same difference-timing discipline."""
+    try:
+        import jax
+        from kanzi_tpu import native
+        from kanzi_tpu.ops import ans as oa
+        rng = np.random.default_rng(2)
+        data = rng.integers(0, 64, 128 * 16384, dtype=np.uint8).tobytes()
+        n = len(data)
+        src = np.frombuffer(data, np.uint8)
+        tables, hdr, hdr_bits, flags = native.ans_prepare(src, 0)
+        mats = [oa.build_syms_order0(src[c * 16384:(c + 1) * 16384])
+                for c in range(len(flags))]
+        syms = np.stack(mats).astype(np.int32)
+        ngroups = np.full(len(mats), syms.shape[1], np.int32)
+        enc = jax.jit(oa.encode_chunks)
+        jax.device_get(enc(syms, ngroups, tables))
+
+        def run_enc(iters):
+            t = time.perf_counter()
+            for _ in range(iters):
+                out = enc(syms, ngroups, tables)
+            jax.device_get(out)
+            return time.perf_counter() - t
+
+        enc_bps = 2 * n / max(run_enc(3) - run_enc(1), 1e-9)
+
+        payload, _bits = native.entropy_encode(5, src, {"bsVersion": 6})
+        dtabs, f2s, states, bufs, buf_sz, dflags, aux = \
+            native.ans_dec_prepare(np.frombuffer(payload, np.uint8), n, 0)
+        dev = np.nonzero(dflags == 0)[0]
+        ng = np.full(len(dev), 4096, np.int32)
+
+        def run_dec(iters):
+            t = time.perf_counter()
+            for _ in range(iters):
+                out = oa.decode_chunks(bufs[dev], states[dev], f2s[dev],
+                                       dtabs[dev], ng, 0, 12, 4096)
+            jax.device_get(out)
+            return time.perf_counter() - t
+
+        run_dec(1)  # compile
+        dec_bps = 2 * n / max(run_dec(3) - run_dec(1), 1e-9)
+        return enc_bps, dec_bps
+    except Exception:  # pragma: no cover
+        return 0.0, 0.0
 
 
 def main():
@@ -162,6 +216,16 @@ def main():
     detail["device_huffman_pack_compute_gbps"] = round(compute / 1e9, 4)
     detail["device_huffman_pack_readback_gbps"] = round(readback / 1e9, 4)
     detail["device"] = dev_name
+    ans_enc, ans_dec = bench_device_ans()
+    detail["device_ans_encode_compute_gbps"] = round(ans_enc / 1e9, 4)
+    detail["device_ans_decode_compute_gbps"] = round(ans_dec / 1e9, 4)
+    detail["device_timing_note"] = (
+        "round 2 fixed device timing to difference-of-runs ending in a "
+        "device_get (block_until_ready does not synchronize under the "
+        "tunneled axon platform, so earlier 'compute' numbers only measured "
+        "enqueue). Per-dispatch numbers here include per-call transfer+RTT "
+        "and, for the scan kernels, the ~20us/step sequential scan latency "
+        "that amortizes only with much wider batches than one block")
     try:
         import jax
         import jax.numpy as jnp
