@@ -397,3 +397,31 @@ def test_container_stream_matches_spec(n, bs, ck):
                              block_size=bs, checksum=ck)
     assert got == expected
     assert kanzi_tpu.decompress(got) == data
+
+
+@pytest.mark.slow
+def test_fpaq_multi_chunk_matches_spec():
+    """FPAQ chunks are 4 MiB: cross one boundary and check the inter-chunk
+    56-bit flush against the spec model (low/high/tables persist across
+    chunks — v2/entropy/FPAQCodec.go:120-170)."""
+    from specmodel.fpaq import fpaq_encode
+    rng = random.Random(77)
+    data = bytes(rng.choice(b"aaaabbbccd") for _ in range((4 << 20) + 4096))
+    spec_bytes, spec_bits = fpaq_encode(data)
+    got_bytes, got_bits = ke.encode(ke.FPAQ_TYPE, data, {})
+    assert (got_bits, bytes(got_bytes)) == (spec_bits, spec_bytes)
+
+
+@pytest.mark.slow
+def test_binary_entropy_64mib_chunk_resync():
+    """The CM/TPAQ shell splits blocks >= 64 MiB into chunks with varint
+    byte counts and 56-bit flushes between them
+    (v2/entropy/BinaryEntropyCodec.go:105-155). The spec model is too slow
+    at this size, so this is an implementation round-trip of the resync
+    path; byte-level shell equivalence is covered at small sizes."""
+    rng = np.random.default_rng(5)
+    n = (1 << 26) + 12345   # crosses the 64 MiB chunk threshold
+    data = rng.integers(0, 16, n, dtype=np.uint8).tobytes()
+    payload, bits = ke.encode(ke.CM_TYPE, data, {})
+    out = ke.decode(ke.CM_TYPE, bytes(payload), n, {})
+    assert out == data

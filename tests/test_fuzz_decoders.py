@@ -77,6 +77,28 @@ def _fuzz_body():
                 [len(valid) // 2, max(len(valid) - 1, 0)]:
             try_entropy_decode(et, bytes(valid[:cut]), len(base))
 
+    # 3b. legacy v5 decode paths under the same attacks
+    ctx5 = {"bsVersion": 5, "blockSize": 65536, "textcodec": 2}
+    for et in (1,):        # v5 Huffman has its own chunk parser
+        for _ in range(30):
+            n = rng.choice([1, 7, 64, 1000, 5000])
+            payload = bytes(rng.randrange(256) for _ in range(n))
+            for out_len in (0, 17, 1000, 65536):
+                try:
+                    native.entropy_decode(et, payload, out_len, dict(ctx5))
+                except RuntimeError:
+                    pass
+    for tt in (1, 3, 10, 16):   # v5 BWT headers, LZX v4, text2 old indexes
+        for _ in range(30):
+            n = rng.choice([2, 14, 64, 2048])
+            try:
+                native.transform_inverse(
+                    tt, np.frombuffer(
+                        bytes(rng.randrange(256) for _ in range(n)),
+                        np.uint8), dict(ctx5), 1 << 18)
+            except Exception:
+                pass
+
     # 4. transform inverses on hostile bytes (incl. crafted section lengths)
     for tt in TRANSFORM_TYPES:
         for _ in range(25):
