@@ -163,7 +163,7 @@ def bench_device_ans():
         enc_bps = 2 * n / max(run_enc(3) - run_enc(1), 1e-9)
 
         payload, _bits = native.entropy_encode(5, src, {"bsVersion": 6})
-        dtabs, f2s, states, bufs, buf_sz, dflags, aux = \
+        dtabs, f2s, states, bufs, dflags, aux = \
             native.ans_dec_prepare(np.frombuffer(payload, np.uint8), n, 0)
         dev = np.nonzero(dflags == 0)[0]
         ng = np.full(len(dev), 4096, np.int32)

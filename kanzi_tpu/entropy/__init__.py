@@ -85,14 +85,20 @@ def decode(etype: int, payload: bytes, out_len: int, ctx: dict) -> bytes:
             raise ValueError("Not enough data in entropy payload")
         return payload[:out_len]
     if ctx.get("useDevice") and int(ctx.get("bsVersion", 6)) >= 6:
-        # opt-in device entropy decode (byte-identical to the host path)
-        if etype == HUFFMAN_TYPE:
-            from .huffman_device import huffman_decode_device
-            return huffman_decode_device(payload, out_len)
-        if etype in (ANS0_TYPE, ANS1_TYPE):
-            from .ans_device import ans_decode_device
-            return ans_decode_device(payload, out_len,
-                                     0 if etype == ANS0_TYPE else 1)
+        # opt-in device entropy decode (byte-identical to the host path);
+        # any device-prepare failure (non-default logRange, corrupted
+        # stream) falls back to the host decoder, which owns the error
+        # contract
+        try:
+            if etype == HUFFMAN_TYPE:
+                from .huffman_device import huffman_decode_device
+                return huffman_decode_device(payload, out_len)
+            if etype in (ANS0_TYPE, ANS1_TYPE):
+                from .ans_device import ans_decode_device
+                return ans_decode_device(payload, out_len,
+                                         0 if etype == ANS0_TYPE else 1)
+        except Exception:
+            pass
     if etype == HUFFMAN_TYPE:
         from .huffman import huffman_decode
         return huffman_decode(payload, out_len, ctx)

@@ -58,7 +58,13 @@ class DeviceANSEngine:
         n = len(post)
         if n <= 32:   # raw small-block path stays on host
             return (post, None, None, None, None, None)
-        tables, hdr, hdr_bits, flags = native.ans_prepare(post, self.order)
+        try:
+            tables, hdr, hdr_bits, flags = native.ans_prepare(post, self.order)
+        except RuntimeError:
+            # e.g. an order-1 chunk the reference cannot encode either
+            # (2-3 byte tail) — let the host encoder raise its typed error,
+            # or encode when it can
+            return (post, "host", None, None, None, None)
         syms, ngroups, dev_chunks = _build_batch(post, self.order, flags)
         if syms is not None:
             out = self._encode(syms, ngroups, tables[dev_chunks])
@@ -68,6 +74,12 @@ class DeviceANSEngine:
 
     def collect(self, handle, dst: np.ndarray, dst_off: int) -> int:
         post, hdr, hdr_bits, flags, dev_chunks, out = handle
+        if isinstance(hdr, str) and hdr == "host":
+            payload, bits = native.entropy_encode(
+                5 if self.order == 0 else 8, post, {"bsVersion": 6})
+            nb = (bits + 7) >> 3
+            dst[dst_off:dst_off + nb] = np.frombuffer(payload, np.uint8)
+            return bits
         if hdr is None:   # raw small block
             nb = len(post)
             dst[dst_off:dst_off + nb] = post
@@ -115,7 +127,7 @@ def ans_decode_device(payload, out_len: int, order: int) -> bytes:
         if not isinstance(payload, np.ndarray) else payload
     if out_len <= 32:   # raw small block
         return src[:out_len].tobytes()
-    dtabs, f2s, states, bufs, buf_sz, flags, aux = \
+    dtabs, f2s, states, bufs, flags, aux = \
         native.ans_dec_prepare(src, out_len, order)
     chunk = native.ANS1_CHUNK if order == 1 else native.ANS0_CHUNK
     lr = 11 if order == 1 else 12

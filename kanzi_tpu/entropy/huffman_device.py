@@ -116,8 +116,7 @@ def huffman_decode_device(payload, out_len: int) -> bytes:
         return b""
     src = np.frombuffer(payload, dtype=np.uint8) \
         if not isinstance(payload, np.ndarray) else payload
-    dtables, lanes, lane_bits, flags, aux = native.huffman_dec_prepare(
-        src, out_len)
+    dtables, lanes, flags, aux = native.huffman_dec_prepare(src, out_len)
     if len(lanes):
         dev_chunks = np.nonzero(flags == 0)[0].astype(np.int32)
         table_idx = np.repeat(dev_chunks, 4)

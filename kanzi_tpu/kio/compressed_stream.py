@@ -560,13 +560,18 @@ class Writer:
                 self._stream[0] = self._stream[nbytes]
                 self._bitpos &= 7
             return
-        # Drain incrementally: pop each chunk only after its write succeeded,
-        # so a retried close() after a transient sink failure resumes at the
-        # first unwritten chunk instead of duplicating already-flushed bytes.
+        # Drain incrementally: advance the cursor only after each write
+        # succeeded, so a retried close() after a transient sink failure
+        # resumes at the first unwritten chunk instead of duplicating
+        # already-flushed bytes (cursor, not pop(0): O(n) total).
         data = self._bw._chunks
-        while data:
-            self._os.write(data[0])
-            data.pop(0)
+        i = 0
+        try:
+            while i < len(data):
+                self._os.write(data[i])
+                i += 1
+        finally:
+            del data[:i]
 
     def close(self) -> None:
         """Close the stream. Retryable after a transient sink failure

@@ -368,16 +368,21 @@ HUF_AUX_STRIDE = 32
 def huffman_dec_prepare(payload, out_len: int):
     """Parse a Huffman entropy payload into device-decodable pieces.
 
-    Returns (dtables (C,4096) uint16, lanes (4*Cn, stride) uint8 zero-padded
-    rows for flag==0 chunks, lane_bits (4*Cn,) int32, flags (C,) uint8,
+    Returns (dtables (C,4096) uint16, lanes (4*Cn, stride) uint8
+    zero-guarded rows for flag==0 chunks, flags (C,) uint8,
     aux (C,32) uint8)."""
     lib = get_lib()
     src = _as_buf(payload)
     nchunks = max((out_len + 16383) // 16384, 1)
-    dtables = np.zeros((nchunks, 4096), dtype=np.uint16)
-    lanes = np.zeros((4 * nchunks, HUF_LANE_STRIDE), dtype=np.uint8)
-    lane_bits = np.zeros(4 * nchunks, dtype=np.int32)
-    flags = np.zeros(nchunks, dtype=np.uint8)
+    # pooled np.empty scratch (CLAUDE.md: ~6 ms/MB first-touch faults); the
+    # C++ side zeroes the refill slack past each lane payload, and every
+    # other buffer is fully overwritten
+    dtables = _get_scratch("hdp_t", nchunks * 4096 * 2)[
+        : nchunks * 4096 * 2].view(np.uint16).reshape(nchunks, 4096)
+    lanes = _get_scratch("hdp_l", 4 * nchunks * HUF_LANE_STRIDE)[
+        : 4 * nchunks * HUF_LANE_STRIDE].reshape(4 * nchunks, HUF_LANE_STRIDE)
+    lane_bits = np.empty(4 * nchunks, dtype=np.int32)
+    flags = np.empty(nchunks, dtype=np.uint8)
     aux = np.zeros((nchunks, HUF_AUX_STRIDE), dtype=np.uint8)
     c = lib.kz_huffman_dec_prepare(src.ctypes.data, len(src), out_len,
                                    dtables.ctypes.data, lanes.ctypes.data,
@@ -387,7 +392,7 @@ def huffman_dec_prepare(payload, out_len: int):
     if c < 0:
         raise RuntimeError(f"huffman decode prepare failed (err={c})")
     nlanes = 4 * int((flags[:c] == 0).sum())
-    return dtables[:c], lanes[:nlanes], lane_bits[:nlanes], flags[:c], aux[:c]
+    return dtables[:c], lanes[:nlanes], flags[:c], aux[:c]
 
 
 ANS0_CHUNK = 16384
@@ -425,7 +430,7 @@ def ans_dec_prepare(payload, out_len: int, order: int):
 
     Returns (dtabs (C,2,dim*256) int32 [freq, cumFreq], f2s (C, dim*2^lr)
     uint8, states (C,4) int32, bufs (C, stride) uint8 zero-guarded renorm
-    streams, buf_sz (C,) int32, flags (C,) uint8, aux (C,) uint8).
+    streams, flags (C,) uint8, aux (C,) uint8).
     Raises on non-default logRange (caller falls back to host)."""
     lib = get_lib()
     src = _as_buf(payload)
@@ -435,13 +440,18 @@ def ans_dec_prepare(payload, out_len: int, order: int):
     nchunks = max((out_len + chunk - 1) // chunk, 1)
     buf_stride = min(2 * chunk, 2 * out_len if out_len else 256) + 256
     f2s_stride = dim * (1 << lr)
-    dtabs = np.zeros((nchunks, 2, dim * 256), dtype=np.int32)
-    f2s = np.zeros((nchunks, f2s_stride), dtype=np.uint8)
-    states = np.zeros((nchunks, 4), dtype=np.int32)
-    bufs = np.zeros((nchunks, buf_stride), dtype=np.uint8)
-    buf_sz = np.zeros(nchunks, dtype=np.int32)
-    flags = np.zeros(nchunks, dtype=np.uint8)
-    aux = np.zeros(nchunks, dtype=np.uint8)
+    # pooled scratch: all planes fully written by the C++ side (bufs gets a
+    # 64-byte zero guard there); see CLAUDE.md on first-touch fault costs
+    dtabs = _get_scratch("adp_t", nchunks * 2 * dim * 256 * 4)[
+        : nchunks * 2 * dim * 256 * 4].view(np.int32).reshape(nchunks, 2, dim * 256)
+    f2s = _get_scratch("adp_f", nchunks * f2s_stride)[
+        : nchunks * f2s_stride].reshape(nchunks, f2s_stride)
+    states = np.empty((nchunks, 4), dtype=np.int32)
+    bufs = _get_scratch("adp_b", nchunks * buf_stride)[
+        : nchunks * buf_stride].reshape(nchunks, buf_stride)
+    buf_sz = np.empty(nchunks, dtype=np.int32)
+    flags = np.empty(nchunks, dtype=np.uint8)
+    aux = np.empty(nchunks, dtype=np.uint8)
     c = lib.kz_ans_dec_prepare(src.ctypes.data, len(src), out_len, order,
                                dtabs.ctypes.data, f2s.ctypes.data, f2s_stride,
                                states.ctypes.data, bufs.ctypes.data,
@@ -449,8 +459,7 @@ def ans_dec_prepare(payload, out_len: int, order: int):
                                flags.ctypes.data, aux.ctypes.data)
     if c < 0:
         raise RuntimeError(f"ans decode prepare failed (err={c})")
-    return (dtabs[:c], f2s[:c], states[:c], bufs[:c], buf_sz[:c], flags[:c],
-            aux[:c])
+    return dtabs[:c], f2s[:c], states[:c], bufs[:c], flags[:c], aux[:c]
 
 
 def ans_assemble(block: np.ndarray, order: int, hdr: np.ndarray,

@@ -205,6 +205,10 @@ class ANSEncoder {
             }
         } else if (len > 1) {
             int quarter = end4 >> 2;
+            // 2-3 byte order-1 chunks index block[-1] in the reference
+            // (ANSRangeCodec.go:353-357 panics); raise a clean error instead
+            // of reading out of bounds
+            if (quarter == 0) throw Error("invalid ANS1 chunk size");
             int i0 = 1 * quarter - 2, i1 = 2 * quarter - 2, i2 = 3 * quarter - 2,
                 i3 = end4 - 2;
             int prv0 = block[i0 + 1], prv1 = block[i1 + 1], prv2 = block[i2 + 1],

@@ -215,15 +215,27 @@ static void inverseBiPSIv2(const u8* src, u8* dst, i32 count, const u32* indexes
 
     // Chunk walks: each chunk's LF-walk is independent given its primary
     // index, so chunk groups run on threads when jobs > 1 (reference
-    // BWT.go:473-500 runs the same split on goroutines; the single shared
-    // byte at each group boundary is written by both sides with the same
-    // value, exactly as the reference does).
-    auto walkChunks = [&](int firstChunk, int lastChunk) {
+    // BWT.go:473-500 runs the same split on goroutines). The reference lets
+    // both sides of a group boundary write the shared byte (same value);
+    // here each non-first task instead diverts its very first byte write to
+    // a per-task slot applied after the join, so no two threads ever touch
+    // the same dst byte (a formal C++ data race the Go memory model shrugs
+    // off).
+    auto walkChunks = [&](int firstChunk, int lastChunk, u8* firstByteOut) {
         i32 start = (i32)firstChunk * ckSize;
         for (int c = firstChunk; c < lastChunk; c++) {
             i32 end = std::min(start + ckSize, count - 1);
             i32 p = (i32)indexes[c];
-            for (i32 i = start + 1; i <= end; i += 2) {
+            i32 i = start + 1;
+            if (firstByteOut != nullptr && c == firstChunk && i <= end) {
+                u32 s = fastBits[p >> shift];
+                while (buckets[s] <= p) s++;
+                *firstByteOut = (u8)(s >> 8);   // dst[start], applied later
+                dst[i] = (u8)s;
+                p = data[p];
+                i += 2;
+            }
+            for (; i <= end; i += 2) {
                 u32 s = fastBits[p >> shift];
                 while (buckets[s] <= p) s++;
                 dst[i - 1] = (u8)(s >> 8);
@@ -236,18 +248,24 @@ static void inverseBiPSIv2(const u8* src, u8* dst, i32 count, const u32* indexes
 
     int nbTasks = std::min(jobs > 0 ? jobs : 1, chunks);
     if (nbTasks <= 1) {
-        walkChunks(0, chunks);
+        walkChunks(0, chunks, nullptr);
     } else {
         // ComputeJobsPerTask split (v2/internal/Global.go:424-460)
         std::vector<std::thread> threads;
+        u8 firstBytes[8] = {0};
+        i32 firstPos[8] = {0};
         int q = chunks / nbTasks, r = chunks - q * nbTasks;
         int c = 0;
         for (int j = 0; j < nbTasks; j++) {
             int take = q + (j < r ? 1 : 0);
-            threads.emplace_back(walkChunks, c, c + take);
+            firstPos[j] = (i32)c * ckSize;
+            threads.emplace_back(walkChunks, c, c + take,
+                                 j > 0 ? &firstBytes[j] : nullptr);
             c += take;
         }
         for (auto& t : threads) t.join();
+        for (int j = 1; j < nbTasks; j++)
+            if (firstPos[j] < count - 1) dst[firstPos[j]] = firstBytes[j];
     }
 
     dst[count - 1] = (u8)lastc;

@@ -568,9 +568,15 @@ int huffmanDecPrepare(const u8* payload, i64 payloadBytes, i64 outLen,
                     if ((i64)((szBits[j] + 7) >> 3) + 8 > laneStride) return -5;
                     laneBits[lane + j] = (i32)szBits[j];
                 }
-                for (int j = 0; j < 4; j++)
-                    ibs.readArray(lanes + (size_t)(lane + j) * laneStride,
-                                  szBits[j]);
+                for (int j = 0; j < 4; j++) {
+                    u8* row = lanes + (size_t)(lane + j) * laneStride;
+                    ibs.readArray(row, szBits[j]);
+                    // zero the refill slack past the payload (the rows come
+                    // from pooled, unzeroed scratch); mirrors the host
+                    // decoder's cleared guard
+                    i64 sz = (i64)((szBits[j] + 7) >> 3);
+                    std::memset(row + sz, 0, std::min((i64)16, laneStride - sz));
+                }
                 lane += 4;
                 int szFrag = sizeChunk / 4;
                 for (int i = 4 * szFrag; i < sizeChunk; i++)

@@ -75,6 +75,18 @@ static int emitLengthLZ(u8* block, int length) {
     return 4;
 }
 
+static int readLengthLZ(const u8* block, int* consumed);
+
+// Bounds-checked variant for the inverse paths: a length escape near the
+// end of a hostile payload must not read past it.
+static int readLengthLZBounded(const u8* src, int idx, int count, int* consumed) {
+    if (idx >= count) throw Error("LZCodec inverse: invalid length offset");
+    int b0 = src[idx];
+    int need = b0 < 254 ? 1 : (b0 == 254 ? 3 : 4);
+    if (idx + need > count) throw Error("LZCodec inverse: truncated length");
+    return readLengthLZ(src + idx, consumed);
+}
+
 static int readLengthLZ(const u8* block, int* consumed) {
     int res = block[0];
     if (res < 254) {
@@ -374,13 +386,13 @@ int lzxInverseV4(const u8* src, i32 count, u8* dst, i64 dstCap, i32* outLen) {
     int repd0 = 0, repd1 = 0;
 
     while (true) {
-        if (tkIdx >= count) throw Error("LZCodec inverse: invalid data");
+        if (tkIdx >= count) throw Error("LZCodec inverse: invalid token offset");
         int token = src[tkIdx++];
         if (token >= 32) {
             int litLen;
             if (token >= 0xE0) {
                 int c;
-                litLen = 7 + readLengthLZ(src + srcIdx, &c);
+                litLen = 7 + readLengthLZBounded(src, srcIdx, count, &c);
                 srcIdx += c;
             } else {
                 litLen = token >> 5;
@@ -397,15 +409,13 @@ int lzxInverseV4(const u8* src, i32 count, u8* dst, i64 dstCap, i32* outLen) {
         int dist;
         if (mLen == 15) {
             int c;
-            if (mLenIdx >= count) throw Error("LZCodec inverse: invalid data");
-            mLen = minMatch + readLengthLZ(src + mLenIdx, &c);
+            mLen = minMatch + readLengthLZBounded(src, mLenIdx, count, &c);
             mLenIdx += c;
             dist = (token & 0x10) == 0 ? repd0 : repd1;
         } else {
             if (mLen == 14) {
                 int c;
-                if (mLenIdx >= count) throw Error("LZCodec inverse: invalid data");
-                mLen = 14 + minMatch + readLengthLZ(src + mLenIdx, &c);
+                mLen = 14 + minMatch + readLengthLZBounded(src, mLenIdx, count, &c);
                 mLenIdx += c;
             } else {
                 mLen += minMatch;
@@ -470,12 +480,13 @@ int lzxInverse(const u8* src, i32 count, u8* dst, i64 dstCap, i32* outLen) {
     int repd0 = count, repd1 = count;
 
     while (true) {
+        if (tkIdx >= count) throw Error("LZCodec inverse: invalid token offset");
         int token = src[tkIdx++];
         if (token >= 32) {
             int litLen;
             if (token >= 0xE0) {
                 int c;
-                litLen = 7 + readLengthLZ(src + srcIdx, &c);
+                litLen = 7 + readLengthLZBounded(src, srcIdx, count, &c);
                 srcIdx += c;
             } else {
                 litLen = token >> 5;
@@ -494,7 +505,7 @@ int lzxInverse(const u8* src, i32 count, u8* dst, i64 dstCap, i32* outLen) {
             mLen = token & 0x03;
             if (mLen == 3) {
                 int c;
-                mLen += minMatch + readLengthLZ(src + mLenIdx, &c);
+                mLen += minMatch + readLengthLZBounded(src, mLenIdx, count, &c);
                 mLenIdx += c;
             } else {
                 mLen += minMatch;
@@ -504,11 +515,13 @@ int lzxInverse(const u8* src, i32 count, u8* dst, i64 dstCap, i32* outLen) {
             mLen = token & 0x07;
             if (mLen == 7) {
                 int c;
-                mLen += minMatch + readLengthLZ(src + mLenIdx, &c);
+                mLen += minMatch + readLengthLZBounded(src, mLenIdx, count, &c);
                 mLenIdx += c;
             } else {
                 mLen += minMatch;
             }
+            if (mIdx + 3 > count && mIdx + (f >= 0x10 ? (f == 0x18 ? 3 : 2) : 1) > count)
+                throw Error("LZCodec inverse: invalid distance offset");
             dist = src[mIdx++];
             if (f >= 0x10) {
                 dist = (dist << 8) | src[mIdx++];

@@ -63,3 +63,17 @@ def test_huffman_random_incompressible_overhead_small():
     data = os.urandom(100000)
     blob = kanzi_tpu.compress(data, transform="NONE", entropy="HUFFMAN")
     assert len(blob) < 1.01 * len(data) + 256
+
+
+def test_ans1_tiny_tail_chunk_raises_cleanly():
+    """An order-1 chunk of 2-3 bytes (block length = 4 MiB + 2/3) indexes
+    block[-1] in the reference encoder (a panic there); both our host and
+    device paths must raise a clean error, never read out of bounds."""
+    import numpy as np
+    from kanzi_tpu import native
+    data = np.zeros((4 << 20) + 2, dtype=np.uint8)
+    with pytest.raises(RuntimeError):
+        native.entropy_encode(8, data, {"bsVersion": 6})
+    from kanzi_tpu.entropy.ans_device import ans_encode_device
+    with pytest.raises(RuntimeError):
+        ans_encode_device(data.tobytes(), 1)
