@@ -15,6 +15,7 @@ import numpy as np
 
 from .. import native
 from ..ops import ans as ops_ans
+from .huffman_device import _DeviceResult
 
 
 def _build_batch(post: np.ndarray, order: int, flags: np.ndarray):
@@ -55,25 +56,69 @@ class DeviceANSEngine:
         self._encode = jax.jit(ops_ans.encode_chunks)
 
     def dispatch(self, post: np.ndarray):
-        n = len(post)
-        if n <= 32:   # raw small-block path stays on host
-            return (post, None, None, None, None, None)
-        try:
-            tables, hdr, hdr_bits, flags = native.ans_prepare(post, self.order)
-        except RuntimeError:
-            # e.g. an order-1 chunk the reference cannot encode either
-            # (2-3 byte tail) — let the host encoder raise its typed error,
-            # or encode when it can
-            return (post, "host", None, None, None, None)
-        syms, ngroups, dev_chunks = _build_batch(post, self.order, flags)
-        if syms is not None:
-            out = self._encode(syms, ngroups, tables[dev_chunks])
+        return self.dispatch_many([post])[0]
+
+    def dispatch_many(self, posts):
+        """Encode every block's chunks in ONE device call (per-dispatch
+        transfer + round-trip amortizes across the Writer batch)."""
+        preps = []
+        all_syms, all_ngroups, all_tables = [], [], []
+        row_base = 0
+        for post in posts:
+            n = len(post)
+            if n <= 32:   # raw small-block path stays on host
+                preps.append((post, None, None, None, None, 0, 0))
+                continue
+            try:
+                tables, hdr, hdr_bits, flags = native.ans_prepare(
+                    post, self.order)
+            except RuntimeError:
+                # e.g. an order-1 chunk the reference cannot encode either
+                # (2-3 byte tail) — let the host encoder raise its typed
+                # error, or encode when it can
+                preps.append((post, "host", None, None, None, 0, 0))
+                continue
+            syms, ngroups, dev_chunks = _build_batch(post, self.order, flags)
+            nrows = 0 if syms is None else len(syms)
+            preps.append((post, hdr, hdr_bits, flags, dev_chunks, row_base,
+                          nrows))
+            if nrows:
+                all_syms.append(syms)
+                all_ngroups.append(ngroups)
+                all_tables.append(tables[dev_chunks])
+                row_base += nrows
+        if row_base:
+            gmax = max(s.shape[1] for s in all_syms)
+            # round both dims up to small multiples: bounded zero-padding
+            # (a few %) while collapsing most batch shapes onto shared
+            # compiled programs (power-of-two padding would transfer up to
+            # 2x zeros through the tunnel for big order-1 chunks)
+            rb = -(-row_base // 4) * 4
+            gb = -(-gmax // 256) * 256
+            syms = np.zeros((rb, gb, 4), dtype=np.int32)
+            r = 0
+            for s in all_syms:
+                syms[r:r + len(s), :s.shape[1]] = s
+                r += len(s)
+            ngroups = np.zeros(rb, dtype=np.int32)
+            ngroups[:row_base] = np.concatenate(all_ngroups)
+            tables = np.concatenate(all_tables)
+            if rb != row_base:
+                tables = np.concatenate(
+                    [tables, np.zeros((rb - row_base,) + tables.shape[1:],
+                                      tables.dtype)])
+            out = self._encode(syms, ngroups, tables)
+            holder = _DeviceResult(out)
         else:
-            out = None
-        return (post, hdr, hdr_bits, flags, dev_chunks, out)
+            holder = None
+        handles = []
+        for post, hdr, hdr_bits, flags, dev_chunks, lo, nrows in preps:
+            handles.append((post, hdr, hdr_bits, flags, dev_chunks,
+                            holder if nrows else None, lo, nrows))
+        return handles
 
     def collect(self, handle, dst: np.ndarray, dst_off: int) -> int:
-        post, hdr, hdr_bits, flags, dev_chunks, out = handle
+        post, hdr, hdr_bits, flags, dev_chunks, holder, lo, nrows = handle
         if isinstance(hdr, str) and hdr == "host":
             payload, bits = native.entropy_encode(
                 5 if self.order == 0 else 8, post, {"bsVersion": 6})
@@ -87,11 +132,11 @@ class DeviceANSEngine:
         nchunks = len(flags)
         pair_counts = np.zeros(nchunks, dtype=np.int32)
         states = np.full((nchunks, 4), ops_ans.ANS_TOP, dtype=np.int32)
-        if out is not None:
-            pairs_d, npairs_d, states_d = out
-            pairs_h = np.ascontiguousarray(np.asarray(pairs_d))
-            npairs_h = np.asarray(npairs_d)
-            states_h = np.asarray(states_d)
+        if holder is not None and nrows:
+            pairs_a, npairs_a, states_a = holder.get()
+            pairs_h = np.ascontiguousarray(pairs_a[lo:lo + nrows])
+            npairs_h = npairs_a[lo:lo + nrows]
+            states_h = states_a[lo:lo + nrows]
             maxp = int(npairs_h.max()) if npairs_h.size else 0
             pair_bytes = np.ascontiguousarray(
                 pairs_h[:, :maxp].astype(">u2")).view(np.uint8)

@@ -44,17 +44,13 @@ class DeviceHuffmanEngine:
         self._pack = jax.jit(ops_huffman.pack_lanes)
         self._jax = jax
 
-    def dispatch(self, post: np.ndarray):
-        """Start packing one block's lanes. Returns an opaque handle."""
+    def _build_lanes(self, post: np.ndarray, flags: np.ndarray):
+        """(syms, lens, tidx) lane arrays for one block, or (None,)*3."""
         n = len(post)
-        tables, hdr, hdr_bits, flags = native.huffman_prepare(post)
         nchunks = len(flags)
         nfull = n // _CHUNK
-
+        rows, tidx, lens = [], [], []
         # vectorized lane build: full chunks reshape directly to (4, FRAG)
-        rows = []
-        tidx = []
-        lens = []
         if nfull:
             full = post[: nfull * _CHUNK].reshape(nfull, 4, _FRAG)
             keep = flags[:nfull] == 0
@@ -73,24 +69,71 @@ class DeviceHuffmanEngine:
             rows.append(tail)
             tidx.append(np.full(4, nfull, np.int32))
             lens.append(np.full(4, frag, np.int32))
+        if not rows:
+            return None, None, None
+        return (np.concatenate(rows),
+                np.concatenate(lens).astype(np.int32),
+                np.concatenate(tidx).astype(np.int32))
 
-        if rows:
-            syms = np.concatenate(rows)  # u8: minimal tunnel transfer
-            lane_len = np.concatenate(lens).astype(np.int32)
-            lane_tidx = np.concatenate(tidx).astype(np.int32)
-            out = self._pack(syms, lane_len, lane_tidx, tables.astype(np.int32))
+    def dispatch(self, post: np.ndarray):
+        """Start packing one block's lanes. Returns an opaque handle."""
+        return self.dispatch_many([post])[0]
+
+    def dispatch_many(self, posts):
+        """Pack every block's lanes in ONE device call — per-dispatch cost
+        (transfer + round-trip) amortizes across the whole Writer batch.
+        Returns one opaque handle per block, same contract as dispatch()."""
+        preps = []
+        all_syms, all_lens, all_tidx, all_tables = [], [], [], []
+        lane_base = 0
+        table_base = 0
+        for post in posts:
+            tables, hdr, hdr_bits, flags = native.huffman_prepare(post)
+            syms, lens, tidx = self._build_lanes(post, flags)
+            nl = 0 if syms is None else len(syms)
+            preps.append((post, hdr, hdr_bits, flags, lane_base, nl))
+            if nl:
+                all_syms.append(syms)
+                all_lens.append(lens)
+                all_tidx.append(tidx + table_base)
+                lane_base += nl
+            all_tables.append(tables.astype(np.int32))
+            table_base += len(tables)
+        if lane_base:
+            syms = np.concatenate(all_syms)
+            lens = np.concatenate(all_lens)
+            tidx = np.concatenate(all_tidx)
+            # round the lane count up to a multiple of 64 so batch-size
+            # jitter reuses compiled programs (bounded zero padding)
+            L = len(syms)
+            bucket = -(-L // 64) * 64
+            if bucket != L:
+                syms = np.concatenate(
+                    [syms, np.zeros((bucket - L, syms.shape[1]), syms.dtype)])
+                lens = np.concatenate(
+                    [lens, np.zeros(bucket - L, lens.dtype)])
+                tidx = np.concatenate(
+                    [tidx, np.zeros(bucket - L, tidx.dtype)])
+            tables = np.concatenate(all_tables)
+            tpad = -(-len(tables) // 16) * 16 - len(tables)
+            if tpad:
+                tables = np.concatenate(
+                    [tables, np.zeros((tpad, 256), tables.dtype)])
+            out = self._pack(syms, lens, tidx, tables)
+            holder = _DeviceResult(out)
         else:
-            out = None
-        # post must stay alive until collect(): copy is the caller's concern
-        return (post, hdr, hdr_bits, flags, out)
+            holder = None
+        # posts must stay alive until collect(): copy is the caller's concern
+        return [(post, hdr, hdr_bits, flags, holder, lo, nl)
+                for post, hdr, hdr_bits, flags, lo, nl in preps]
 
     def collect(self, handle, dst: np.ndarray, dst_off: int) -> int:
         """Block on the device result and splice the payload into dst."""
-        post, hdr, hdr_bits, flags, out = handle
-        if out is not None:
-            words, nbits = out
-            words = np.asarray(words)
-            nbits = np.ascontiguousarray(np.asarray(nbits, dtype=np.int32))
+        post, hdr, hdr_bits, flags, holder, lo, nl = handle
+        if holder is not None and nl:
+            words, nbits = holder.get()
+            words = words[lo:lo + nl]
+            nbits = np.ascontiguousarray(nbits[lo:lo + nl].astype(np.int32))
             lane_bytes = np.ascontiguousarray(
                 words.astype(">u4")).reshape(words.shape[0], -1).view(np.uint8)
         else:
@@ -98,6 +141,22 @@ class DeviceHuffmanEngine:
             lane_bytes = np.zeros((0, 4), dtype=np.uint8)
         return native.huffman_assemble(post, hdr, hdr_bits, flags,
                                        lane_bytes, nbits, dst, dst_off)
+
+
+class _DeviceResult:
+    """Materialize a device result once, on first use."""
+
+    __slots__ = ("_out", "_np")
+
+    def __init__(self, out):
+        self._out = out
+        self._np = None
+
+    def get(self):
+        if self._np is None:
+            self._np = tuple(np.asarray(o) for o in self._out)
+            self._out = None
+        return self._np
 
 
 # mesh override: parallel.mesh_reader installs a sharded decode kernel here

@@ -495,7 +495,7 @@ class Writer:
         """
         while len(self._dev_posts) < len(blocks):
             self._dev_posts.append(None)
-        handles = []
+        staged = []
         for slot, b in enumerate(blocks):
             data = np.frombuffer(b, dtype=np.uint8)
             cap = 2 * len(data) + 65536
@@ -513,12 +513,14 @@ class Writer:
             hdr += post_len.to_bytes(ds, "big")
             if self.checksum_bits:
                 hdr += cks.to_bytes(self.checksum_bits // 8, "big")
-            post = post_buf[:post_len]
-            if copy:
-                handles.append((bytes(hdr), post, None))
-            else:
-                handles.append((bytes(hdr), post,
-                                self._dev_engine.dispatch(post)))
+            staged.append((bytes(hdr), post_buf[:post_len], copy))
+        # one device dispatch for the whole batch: per-dispatch transfer +
+        # round-trip cost amortizes over every non-copy block
+        dev_posts = [post for _, post, copy in staged if not copy]
+        dev_handles = iter(self._dev_engine.dispatch_many(dev_posts)
+                           if dev_posts else ())
+        handles = [(hdr, post, None if copy else next(dev_handles))
+                   for hdr, post, copy in staged]
         for hdr, post, handle in handles:
             cap = len(hdr) + 2 * len(post) + 65536
             if self._scratch is None or len(self._scratch) < cap:
