@@ -238,3 +238,27 @@ def test_cli_multi_file_worker_pool(tmp_path):
                         "-j", "4", "-v", "0"])
         assert res.returncode == 0, res.stderr
         assert open(p + ".out", "rb").read() == content
+
+
+def test_cli_from_to_partial_decode_succeeds(tmp_path):
+    """--from/--to partial decodes are smaller than the header's outputSize
+    by design; the CLI must not report them as corrupted (the reference
+    skips the size check when from/to are set,
+    v2/app/BlockDecompressor.go:716-728)."""
+    import subprocess
+    import sys
+    data = (b"cli from/to partial decode " * 9000)
+    src = tmp_path / "in.bin"
+    src.write_bytes(data)
+    knz = tmp_path / "in.knz"
+    out = tmp_path / "part.bin"
+    r = subprocess.run([sys.executable, "-m", "kanzi_tpu.app", "-c",
+                        "-i", str(src), "-o", str(knz), "-b", "64K", "-f"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run([sys.executable, "-m", "kanzi_tpu.app", "-d",
+                        "-i", str(knz), "-o", str(out),
+                        "--from", "2", "--to", "4", "-f"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert out.read_bytes() == data[65536:3 * 65536]
