@@ -425,3 +425,55 @@ def test_binary_entropy_64mib_chunk_resync():
     payload, bits = ke.encode(ke.CM_TYPE, data, {})
     out = ke.decode(ke.CM_TYPE, bytes(payload), n, {})
     assert out == data
+
+
+def test_scan_transforms_match_spec():
+    """ZRLT/RLT/SRT/SBRT byte-level formats vs independent spec models
+    (specmodel/scans.py). RLT cases avoid DNA/BASE64/UTF8-detected data:
+    the type gate (v2/transform/RLT.go:88-136) is modeled by the caller."""
+    from specmodel.scans import (zrlt_forward, rlt_forward, srt_forward,
+                                 sbrt_forward, SpecSkip)
+    from kanzi_tpu import native
+    rng = random.Random(31)
+    cases = {
+        "zeros": bytes(4096),
+        "post-bwt": bytes(rng.choice(b"\x00\x00\x00\x01\x01\x02\x03\x07")
+                          for _ in range(30000)),
+        "runs": b"".join(bytes([rng.randrange(256)]) * rng.randrange(1, 40)
+                         for _ in range(800)),
+        "mixed": bytes(rng.randrange(256) for _ in range(5000)),
+        "hi-vals": bytes(rng.choice(b"\xfd\xfe\xff\x00\x01")
+                         for _ in range(8000)),
+        "tiny": b"aaaaaaa\x01bbbbbbbbcc",
+        "long-zero-run": bytes(70000) + b"x" + bytes(3000),
+        "max-run": b"\x05" * 70000 + b"qr\x07st",
+    }
+
+    def impl_fwd(ttype, data, ctx):
+        try:
+            out, _ = native.transform_forward(
+                ttype, np.frombuffer(data, np.uint8), ctx,
+                3 * len(data) + 65536)
+            return bytes(out)
+        except native.NativeSkip:
+            return None
+
+    for name, data in cases.items():
+        try:
+            spec = zrlt_forward(data)
+        except SpecSkip:
+            spec = None
+        assert spec == impl_fwd(6, data, {}), f"ZRLT {name}"
+        assert srt_forward(data) == impl_fwd(13, data, {}), f"SRT {name}"
+        assert sbrt_forward(data, "MTF") == impl_fwd(7, data, {}), f"MTFT {name}"
+        assert sbrt_forward(data, "RANK") == impl_fwd(8, data, {}), f"RANK {name}"
+        try:
+            spec = rlt_forward(data, fast_entropy=False)
+        except SpecSkip:
+            spec = None
+        assert spec == impl_fwd(5, data, {"entropy": "TPAQ"}), f"RLT {name}"
+        try:
+            spec = rlt_forward(data, fast_entropy=True)
+        except SpecSkip:
+            spec = None
+        assert spec == impl_fwd(5, data, {"entropy": "HUFFMAN"}), f"RLT-fast {name}"
