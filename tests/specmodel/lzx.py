@@ -249,3 +249,67 @@ def lzx_forward(src: bytes, extra: bool = False,
     if len(out) > count - count // 100:
         raise LZXSkip("no compression")
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# LZP (v2/transform/LZCodec.go:943-1105): order-4 context hash predicts one
+# position; matches >= 64 emit 0xFC + 254-escaped length; literal 0xFC with a
+# live prediction is escaped with 0xFF.
+# ---------------------------------------------------------------------------
+
+LZP_HASH_SEED = 0x7FEB352D
+LZP_HASH_LOG = 16
+LZP_MIN_MATCH = 64
+LZP_MATCH_FLAG = 0xFC
+LZP_MIN_BLOCK = 128
+M32 = (1 << 32) - 1
+
+
+def lzp_forward(src: bytes) -> bytes:
+    count = len(src)
+    if count < LZP_MIN_BLOCK:
+        raise LZXSkip("block too small")
+    dst_end = count - (count >> 6)
+    hashes = [0] * (1 << LZP_HASH_LOG)
+    out = bytearray(src[:4])
+    ctx = int.from_bytes(src[0:4], "little")
+    i = 4
+    while i < count - LZP_MIN_MATCH and len(out) < dst_end:
+        h = ((LZP_HASH_SEED * ctx) & M32) >> (32 - LZP_HASH_LOG)
+        ref = hashes[h]
+        hashes[h] = i
+        best = 0
+        if ref != 0 and _le64(src, i + LZP_MIN_MATCH - 8) == \
+                _le64(src, ref + LZP_MIN_MATCH - 8):
+            best = _find_match(src, i, ref, count - i)
+        if best < LZP_MIN_MATCH:
+            val = src[i]
+            ctx = ((ctx << 8) | val) & M32
+            out.append(val)
+            i += 1
+            if ref != 0 and val == LZP_MATCH_FLAG:
+                out.append(0xFF)
+            continue
+        i += best
+        ctx = int.from_bytes(src[i - 4:i], "little")
+        out.append(LZP_MATCH_FLAG)
+        best -= LZP_MIN_MATCH
+        while best >= 254:
+            best -= 254
+            out.append(0xFE)
+            if len(out) >= dst_end:
+                break
+        out.append(best & 0xFF)
+    while i < count and len(out) < dst_end:
+        h = ((LZP_HASH_SEED * ctx) & M32) >> (32 - LZP_HASH_LOG)
+        ref = hashes[h]
+        hashes[h] = i
+        val = src[i]
+        ctx = ((ctx << 8) | val) & M32
+        out.append(val)
+        i += 1
+        if ref != 0 and val == LZP_MATCH_FLAG:
+            out.append(0xFF)
+    if i != count or len(out) >= dst_end:
+        raise LZXSkip("output too small")
+    return bytes(out)

@@ -477,3 +477,33 @@ def test_scan_transforms_match_spec():
         except SpecSkip:
             spec = None
         assert spec == impl_fwd(5, data, {"entropy": "HUFFMAN"}), f"RLT-fast {name}"
+
+
+def test_lzp_matches_spec():
+    """LZP hash-predict scan (v2/transform/LZCodec.go:943-1105): flag/escape
+    bytes, 254-escaped lengths, and the skip decision itself."""
+    from specmodel.lzx import lzp_forward, LZXSkip
+    from kanzi_tpu import native
+    from kanzi_tpu.transforms.base import TransformSkip  # noqa: F401
+    rng = random.Random(8)
+    base = open("/root/repo/SURVEY.md", "rb").read()[:60000]
+    cases = {
+        "text": base,
+        "rep": (b"pattern-abcdefgh" * 64 + b"\xfc" * 10 + base[:5000]) * 3,
+        "flag-heavy": bytes(rng.choice(b"\xfc\xfcqrs") for _ in range(20000)),
+        "random": bytes(rng.randrange(256) for _ in range(9000)),
+        "long-match": base[:200] + base[:5000] * 4,
+        "tiny": b"z" * 127,
+    }
+    for name, data in cases.items():
+        try:
+            spec = lzp_forward(data)
+        except LZXSkip:
+            spec = None
+        try:
+            out, _ = native.transform_forward(
+                14, np.frombuffer(data, np.uint8), {}, 3 * len(data) + 65536)
+            got = bytes(out)
+        except native.NativeSkip:
+            got = None
+        assert spec == got, name
