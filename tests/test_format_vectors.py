@@ -507,3 +507,59 @@ def test_lzp_matches_spec():
         except native.NativeSkip:
             got = None
         assert spec == got, name
+
+
+def test_utf_and_pack_match_spec():
+    """UTF codepoint aliasing (1- and 2-byte alias paths, BOM, truncated
+    starts, the validation gate) and PACK nibble/digram packing vs the
+    independent spec models (specmodel/content_aware.py)."""
+    from specmodel.content_aware import (utf_forward, alias_forward,
+                                         SpecSkip)
+    from kanzi_tpu import native
+    rng = random.Random(12)
+
+    def impl_fwd(ttype, data):
+        try:
+            out, _ = native.transform_forward(
+                ttype, np.frombuffer(data, np.uint8), {},
+                3 * len(data) + 65536)
+            return bytes(out)
+        except native.NativeSkip:
+            return None
+
+    pool2 = [chr(rng.randrange(0x80, 0x7FF)) for _ in range(60)]
+    pool3 = [chr(rng.randrange(0x800, 0x3000)) for _ in range(40)]
+    pool4 = [chr(rng.randrange(0x10000, 0x2FFFF)) for _ in range(150)]
+    text = "".join(rng.choice(pool2 + pool3 + ["e", "t", "a", " "])
+                   for _ in range(12000))
+    rich = "".join(rng.choice(pool2 + pool3 + pool4) for _ in range(9000))
+    utf_cases = {
+        "pooled": text.encode(),
+        "rich-200+": rich.encode(),       # > 128 distinct: 2-byte aliases
+        "bom": b"\xef\xbb\xbf" + text.encode(),
+        "trunc": text.encode()[1:],
+        "not-utf": bytes(rng.randrange(256) for _ in range(5000)),
+        "too-diverse": "".join(
+            chr(rng.randrange(0x80, 0x3000)) for _ in range(9000)).encode(),
+    }
+    for name, data in utf_cases.items():
+        try:
+            spec = utf_forward(data)
+        except SpecSkip:
+            spec = None
+        assert spec == impl_fwd(17, data), f"UTF {name}"
+
+    pack_cases = {
+        "alpha4": bytes(rng.choice(b"WXYZ") for _ in range(5000)),
+        "alpha16": bytes(rng.choice(b"qwertyuiopasdfgh") for _ in range(5001)),
+        "alpha1": b"\x99" * 3000,
+        "digram": b"".join(rng.choice([b"th", b"he", b"in", b"er", b"an"])
+                           for _ in range(4000)) + b"\x01",
+        "full-alpha": bytes(rng.randrange(256) for _ in range(5000)),
+    }
+    for name, data in pack_cases.items():
+        try:
+            spec = alias_forward(data)
+        except SpecSkip:
+            spec = None
+        assert spec == impl_fwd(18, data), f"PACK {name}"
