@@ -563,3 +563,49 @@ def test_utf_and_pack_match_spec():
         except SpecSkip:
             spec = None
         assert spec == impl_fwd(18, data), f"PACK {name}"
+
+
+def test_text_codec_matches_spec():
+    """The TEXT codec, both variants: static + dynamic dictionary replay,
+    case-flip lookups, escape/index emission, CRLF folding, the strict vs
+    relaxed text gates, and the variant-specific hash sizing
+    (specmodel/text.py)."""
+    from specmodel.text import text_forward, SpecSkip
+    from kanzi_tpu import native
+    rng = random.Random(21)
+    survey = open("/root/repo/SURVEY.md", "rb").read()
+    words = ["the", "while", "Compression", "standard", "of", "data",
+             "Entropy", "block", "transform", "codec", "Because", "escape",
+             "banana"]
+    gen = " ".join(rng.choice(words) for _ in range(8000))
+    cases = {
+        "survey": survey[:60000],
+        "big-survey": survey * 3,
+        "gen-words": gen.encode(),
+        "crlf": ("line one\r\nline two\r\n" * 2000).encode(),
+        "xml": ("<a>&amp;value</a> <b>&lt;x&gt;</b> " * 1500).encode(),
+        "esc-tokens": b"some text \x0f with \x0e escapes " * 800,
+        "not-text": bytes(rng.randrange(256) for _ in range(9000)),
+        "caps": " ".join(w.capitalize() for w in
+                         (rng.choice(words) for _ in range(6000))).encode(),
+        "many-words": " ".join("w%dx%s" % (i % 9000, "abc"[i % 3])
+                               for i in range(30000)).encode(),
+    }
+    matrix = [(1, "TPAQ"), (1, "TPAQX"), (2, "HUFFMAN")]
+    for variant, entropy in matrix:
+        for name, data in cases.items():
+            try:
+                spec = text_forward(data, variant, block_size=4 << 20,
+                                    entropy=entropy)
+            except SpecSkip:
+                spec = None
+            ctx = {"textcodec": variant, "entropy": entropy,
+                   "blockSize": 4 << 20}
+            try:
+                out, _ = native.transform_forward(
+                    10, np.frombuffer(data, np.uint8), ctx,
+                    3 * len(data) + 65536)
+                got = bytes(out)
+            except native.NativeSkip:
+                got = None
+            assert spec == got, f"TEXT{variant}/{entropy} {name}"
