@@ -609,3 +609,68 @@ def test_text_codec_matches_spec():
             except native.NativeSkip:
                 got = None
             assert spec == got, f"TEXT{variant}/{entropy} {name}"
+
+
+def test_fsd_matches_spec():
+    """FSD stride detection, zigzag/escape delta vs xor coding, and the
+    entropy gates (specmodel/fsd_bwt.py; zigzag + LOG2_4096 closed forms
+    are verified against the reference tables in the module)."""
+    from specmodel.fsd_bwt import fsd_forward, SpecSkip
+    from kanzi_tpu import native
+    rng = random.Random(14)
+
+    def wave(stride, n):
+        v = [128] * stride
+        out = bytearray()
+        for i in range(n):
+            v[i % stride] = (v[i % stride] + rng.randrange(-3, 4)) & 0xFF
+            out.append(v[i % stride])
+        return bytes(out)
+
+    cases = {
+        "stride1": wave(1, 20000),
+        "stride4": wave(4, 20000),
+        "stride16": wave(16, 20000),
+        "random": bytes(rng.randrange(256) for _ in range(8000)),
+        "bigjumps": bytes((i * 37) & 0xFF for i in range(9000)),
+    }
+    for name, data in cases.items():
+        try:
+            spec = fsd_forward(data)
+        except SpecSkip:
+            spec = None
+        try:
+            out, _ = native.transform_forward(
+                15, np.frombuffer(data, np.uint8), {}, 3 * len(data) + 65536)
+            got = bytes(out)
+        except native.NativeSkip:
+            got = None
+        assert spec == got, name
+
+
+def test_bwt_bwts_match_definitional_oracles():
+    """The BWT payload + per-chunk primary indexes against a sorted-suffix
+    oracle, and BWTS against the Lyndon-rotation omega-order definition —
+    independent of the SA-IS implementation entirely."""
+    from specmodel.fsd_bwt import (bwt_forward_bruteforce,
+                                   bwts_forward_bruteforce)
+    from kanzi_tpu import native
+    rng = random.Random(14)
+    for n in (2, 17, 255, 256, 1000, 4096):
+        data = bytes(rng.choice(b"abracadabra") for _ in range(n))
+        payload, _ = native.transform_forward(
+            1, np.frombuffer(data, np.uint8), {"blockSize": n}, 2 * n + 64)
+        payload = bytes(payload)
+        mode = payload[0]
+        pis = (mode & 3) + 1
+        chunks = 1 << ((mode >> 2) & 7)
+        hdr = 1 + chunks * pis
+        got_idx = [int.from_bytes(payload[1 + i * pis:1 + (i + 1) * pis],
+                                  "big") + 1 for i in range(chunks)]
+        spec_bwt, spec_idx = bwt_forward_bruteforce(data)
+        assert payload[hdr:] == spec_bwt and got_idx == spec_idx, n
+    for n in (2, 13, 100, 1000, 3000):
+        data = bytes(rng.choice(b"mississippi") for _ in range(n))
+        out, _ = native.transform_forward(
+            2, np.frombuffer(data, np.uint8), {}, 2 * n + 64)
+        assert bytes(out) == bwts_forward_bruteforce(data), n
