@@ -674,3 +674,115 @@ def test_bwt_bwts_match_definitional_oracles():
         out, _ = native.transform_forward(
             2, np.frombuffer(data, np.uint8), {}, 2 * n + 64)
         assert bytes(out) == bwts_forward_bruteforce(data), n
+
+
+def _exe_x86_corpus(rng, count=8192, jumps=120, bad_sgn=0, escapes=0):
+    """Synthetic 'executable': zero runs + 0xFF sprinkles + E8/E9 rel32
+    sites, shaped to pass the opcode-density heuristic (DT_BIN, histo
+    gates) in v2/transform/EXECodec.go:781-808."""
+    buf = bytearray(rng.randrange(256) for _ in range(count))
+    buf[:256] = bytes(range(256))                   # all values present
+    for _ in range(count // 8):                     # histo[0] >= count/10
+        p = rng.randrange(256, count - 8)
+        buf[p] = 0
+    for _ in range(count // 50):                    # histo[255] >= count/100
+        buf[rng.randrange(256, count - 8)] = 0xFF
+    for _ in range(jumps):
+        p = rng.randrange(300, count - 16)
+        buf[p] = rng.choice((0xE8, 0xE9))
+        buf[p + 1:p + 4] = bytes(rng.randrange(256) for _ in range(3))
+        buf[p + 4] = rng.choice((0x00, 0xFF))
+    for _ in range(bad_sgn):
+        p = rng.randrange(300, count - 16)
+        buf[p] = 0xE8
+        buf[p + 4] = 0x55                           # escape-forcing sign
+    for _ in range(escapes):
+        buf[rng.randrange(300, count - 8)] = 0x9B
+    return bytes(buf)
+
+
+def test_exe_codec_matches_spec():
+    """EXE forward (type 9) against the spec model: heuristic detection,
+    X86 and ARM64 rewriting, escapes, and the skip gates."""
+    from specmodel.exe import exe_forward, SpecSkip
+    from kanzi_tpu import native
+    rng = random.Random(14)
+
+    cases = {
+        "x86": _exe_x86_corpus(rng),
+        "x86_escapes": _exe_x86_corpus(rng, bad_sgn=30, escapes=40),
+        "x86_fewjumps": _exe_x86_corpus(rng, jumps=10),
+        "x86_jcc": None,        # built below
+        "not_bin": bytes(rng.randrange(1, 200) for _ in range(8192)),
+        "tiny": b"\xe8" * 2048,
+    }
+    jcc = bytearray(_exe_x86_corpus(rng, jumps=60))
+    for _ in range(80):         # 0x0F 0x8x rel32 conditional jumps
+        p = rng.randrange(300, len(jcc) - 16)
+        jcc[p] = 0x0F
+        jcc[p + 1] = 0x80 | rng.randrange(16)
+        jcc[p + 5] = rng.choice((0x00, 0xFF))
+    cases["x86_jcc"] = bytes(jcc)
+
+    arm = bytearray(_exe_x86_corpus(rng, count=8192, jumps=0))
+    for k in range(0, 4096, 4):  # low half: dense B/BL words
+        off = rng.randrange(1, 1 << 12)
+        instr = (0x14000000 if k & 4 else 0x94000000) | off
+        arm[k:k + 4] = instr.to_bytes(4, "little")
+    cases["arm64"] = bytes(arm)
+
+    for name, data in cases.items():
+        try:
+            spec = exe_forward(data, dst_len=4 * len(data))
+        except SpecSkip:
+            spec = None
+        try:
+            out, _ = native.transform_forward(
+                9, np.frombuffer(data, np.uint8), {}, 4 * len(data))
+            got = bytes(out)
+        except native.NativeSkip:
+            got = None
+        assert spec == got, (name, None if spec is None else len(spec),
+                             None if got is None else len(got))
+
+
+def test_exe_codec_elf_header_and_roundtrip():
+    """A synthetic little-endian ELF64 drives the header-parse path
+    (codeStart/codeEnd from section table); plus inverse identity."""
+    from specmodel.exe import exe_forward, SpecSkip
+    from kanzi_tpu import native
+    rng = random.Random(15)
+    body = bytearray(_exe_x86_corpus(rng, count=8192))
+    # ELF64-LE header: e_ident, machine=0x3E, shoff=64, shentsize=64, shnum=2
+    hdr = bytearray(64)
+    hdr[0:4] = b"\x7fELF"
+    hdr[4] = 2                     # 64-bit
+    hdr[5] = 1                     # little-endian
+    hdr[18:20] = (0x3E).to_bytes(2, "little")
+    hdr[0x28:0x30] = (64).to_bytes(8, "little")     # section table offset
+    hdr[0x3A:0x3C] = (64).to_bytes(2, "little")     # entry size
+    hdr[0x3C:0x3E] = (2).to_bytes(2, "little")      # entries
+    sects = bytearray(128)
+    sects[4:8] = (1).to_bytes(4, "little")           # SHT_PROGBITS
+    code_off = 64 + 128
+    sects[0x18:0x20] = code_off.to_bytes(8, "little")
+    sects[0x20:0x28] = (4096).to_bytes(8, "little")  # section length
+    data = bytes(hdr + sects + body)
+
+    try:
+        spec = exe_forward(data, dst_len=4 * len(data))
+    except SpecSkip:
+        spec = None
+    try:
+        out, _ = native.transform_forward(
+            9, np.frombuffer(data, np.uint8), {}, 4 * len(data))
+        got = bytes(out)
+    except native.NativeSkip:
+        got = None
+    assert spec is not None, "ELF case must not skip"
+    assert spec == got
+    # codeStart in the frame header must reflect the parsed section offset
+    assert int.from_bytes(spec[1:5], "little") == code_off
+    back = native.transform_inverse(9, np.frombuffer(got, np.uint8),
+                                    {}, len(data))
+    assert bytes(back) == data
