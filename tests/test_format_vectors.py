@@ -15,6 +15,7 @@ A divergence from the reference format would have to be introduced twice,
 identically, in two languages, to pass this file.
 """
 
+import os
 import random
 
 import numpy as np
@@ -22,6 +23,8 @@ import pytest
 
 import kanzi_tpu
 from kanzi_tpu import entropy as ke
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 from specmodel.bits import SpecOBS
 from specmodel import entropy_utils as su
@@ -784,5 +787,69 @@ def test_exe_codec_elf_header_and_roundtrip():
     # codeStart in the frame header must reflect the parsed section offset
     assert int.from_bytes(spec[1:5], "little") == code_off
     back = native.transform_inverse(9, np.frombuffer(got, np.uint8),
+                                    {}, len(data))
+    assert bytes(back) == data
+
+
+def test_rolz_rolzx_match_spec():
+    """ROLZ (type 11) and ROLZX (type 12) against independent spec models:
+    match search, token/section layout, embedded ANS and range coders, the
+    dataType mode flags, and the skip gates."""
+    from specmodel.rolz import rolz1_forward, rolz2_forward, SpecSkip
+    from kanzi_tpu import native
+    rng = random.Random(14)
+
+    text = open(os.path.join(_REPO, "SURVEY.md"), "rb").read()[:40000]
+    dna = bytearray()
+    while len(dna) < 12000:
+        dna += rng.choice([b"ACGTACGGTTCA", b"GGCATTACGTAA",
+                           b"TTACGGACGTCA"]) * rng.randrange(1, 5)
+    cases = {
+        "text": (text, None),
+        "dna": (bytes(dna), None),            # minMatch7 / getKey2 path
+        "exe_ctx": (text, 3),                 # delta=3 via ctx dataType
+        "random": (bytes(rng.randrange(256) for _ in range(9000)), None),
+        "tiny": (b"x" * 50, None),
+    }
+    for name, (data, dtype) in cases.items():
+        cap = len(data) + len(data) // 4 + 64
+        for label, fn, tt in (("rolz", rolz1_forward, 11),
+                              ("rolzx", rolz2_forward, 12)):
+            try:
+                spec = fn(data, dst_len=max(cap, len(data), 1024), dt=dtype)
+            except SpecSkip:
+                spec = None
+            ctx = {} if dtype is None else {"dataType": dtype}
+            try:
+                out, _ = native.transform_forward(
+                    tt, np.frombuffer(data, np.uint8), ctx, cap)
+                got = bytes(out)
+            except native.NativeSkip:
+                got = None
+            assert spec == got, (name, label)
+            if got is not None and name != "exe_ctx":
+                back = native.transform_inverse(
+                    tt, np.frombuffer(got, np.uint8), {}, len(data))
+                assert bytes(back) == data, (name, label, "inverse")
+
+
+@pytest.mark.slow
+def test_rolz_order1_literals_match_spec():
+    """Blocks >= 128 KiB switch the ROLZ literal stream to order-1 ANS
+    (ROLZCodec.go:322-326)."""
+    from specmodel.rolz import rolz1_forward, SpecSkip
+    from kanzi_tpu import native
+    data = bytearray()
+    for fname in ("SURVEY.md", "README.md", "BASELINE.md"):
+        data += open(os.path.join(_REPO, fname), "rb").read()
+    data = bytes(data * (1 + (1 << 17) // len(data) + 1))[:200000]
+    assert len(data) >= 1 << 17
+    cap = len(data) + len(data) // 4
+    spec = rolz1_forward(data, dst_len=max(cap, len(data)))
+    assert (spec[4] & 1) == 1, "order-1 literal flag expected"
+    out, _ = native.transform_forward(
+        11, np.frombuffer(data, np.uint8), {}, cap)
+    assert bytes(out) == spec
+    back = native.transform_inverse(11, np.frombuffer(bytes(out), np.uint8),
                                     {}, len(data))
     assert bytes(back) == data
