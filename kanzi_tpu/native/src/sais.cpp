@@ -143,16 +143,31 @@ void saisCore(const ST* st, i32* SA, i32 n, i32 K, std::vector<i32>& counts,
     // Stage 2: order LMS suffixes
     std::vector<i32> SA1(m);
     if (name < m) {
-        // recurse on the reduced string: compute its types, fuse, and go
-        std::vector<u32> st1(m);
-        st1[m - 1] = (u32)(s1[m - 1] << 1) | 1;
-        for (i32 i = m - 2; i >= 0; i--) {
-            bool sType = (s1[i] < s1[i + 1]) ||
-                         (s1[i] == s1[i + 1] && (st1[i + 1] & 1));
-            st1[i] = ((u32)s1[i] << 1) | (sType ? 1 : 0);
-        }
+        // recurse on the reduced string: compute its types, fuse, and go.
+        // Text-like inputs keep every recursion level's alphabet small
+        // (measured: <25k names at all depths on mixed text), so u16 fused
+        // elements — half the random-gather footprint of the induce loops —
+        // apply almost always; u32 is the correctness fallback.
         std::vector<i32> saved(counts.begin(), counts.begin() + K);
-        saisCore<u32>(st1.data(), SA1.data(), m, name, counts, buckets);
+        if (name < 32768) {
+            std::vector<u16> st1(m);
+            st1[m - 1] = (u16)((s1[m - 1] << 1) | 1);
+            for (i32 i = m - 2; i >= 0; i--) {
+                bool sType = (s1[i] < s1[i + 1]) ||
+                             (s1[i] == s1[i + 1] && (st1[i + 1] & 1));
+                st1[i] = (u16)((s1[i] << 1) | (sType ? 1 : 0));
+            }
+            saisCore<u16>(st1.data(), SA1.data(), m, name, counts, buckets);
+        } else {
+            std::vector<u32> st1(m);
+            st1[m - 1] = (u32)(s1[m - 1] << 1) | 1;
+            for (i32 i = m - 2; i >= 0; i--) {
+                bool sType = (s1[i] < s1[i + 1]) ||
+                             (s1[i] == s1[i + 1] && (st1[i + 1] & 1));
+                st1[i] = ((u32)s1[i] << 1) | (sType ? 1 : 0);
+            }
+            saisCore<u32>(st1.data(), SA1.data(), m, name, counts, buckets);
+        }
         counts.assign(saved.begin(), saved.end());  // restore (K ints, not an n-pass)
         buckets.resize(K);  // recursion shrank it to `name`; capacity is still >= K
     } else {
