@@ -113,3 +113,52 @@ def decompress(data, jobs: int = 1, headerless: bool = False,
         return r.read_all()
     finally:
         r.close()
+
+
+def compress_stream(src, dst, level: int | None = None,
+                    transform: str | None = None, entropy: str | None = None,
+                    block_size: int | None = None, jobs: int = 1,
+                    checksum: int = 0, chunk_size: int = 1 << 20) -> int:
+    """Constant-memory streaming compression: read `src` (file-like) in
+    chunks, write a KANZ v6 stream to `dst` (file-like). Returns the number
+    of input bytes consumed. Library-level mirror of the reference's
+    NewWriter + io.Copy idiom (v2/io/CompressedStream.go:166-991); the CLI
+    uses the same Writer directly."""
+    if level is not None:
+        if not 0 <= level <= 9:
+            raise KanziError(f"Invalid compression level: {level}")
+        transform, entropy = LEVEL_PRESETS[level]
+        if block_size is None:
+            block_size = block_size_for_level(level)
+    w = Writer(dst, transform=transform or "NONE", entropy=entropy or "NONE",
+               block_size=block_size or DEFAULT_BLOCK_SIZE, jobs=jobs,
+               checksum=checksum)
+    total = 0
+    try:
+        while True:
+            chunk = src.read(chunk_size)
+            if not chunk:
+                break
+            w.write(chunk)
+            total += len(chunk)
+    finally:
+        w.close()
+    return total
+
+
+def decompress_stream(src, dst, jobs: int = 1,
+                      chunk_size: int = 1 << 20) -> int:
+    """Constant-memory streaming decompression from `src` (file-like KANZ
+    stream) into `dst` (file-like). Returns the number of bytes written."""
+    r = Reader(src, jobs=jobs)
+    total = 0
+    try:
+        while True:
+            out = r.read(chunk_size)
+            if not out:
+                break
+            dst.write(out)
+            total += len(out)
+    finally:
+        r.close()
+    return total

@@ -193,3 +193,36 @@ def test_streaming_reader_constant_memory_path():
             return chunk
     r2 = Reader(Dribble(blob))
     assert r2.read_all() == data
+
+
+def test_stream_helpers_roundtrip(tmp_path):
+    """compress_stream/decompress_stream: constant-memory file-like path,
+    byte-identical to the one-shot API."""
+    import io
+    data = (open("/root/repo/SURVEY.md", "rb").read() * 40)[:3 << 20]
+    dst = io.BytesIO()
+    n = kanzi_tpu.compress_stream(io.BytesIO(data), dst, level=2,
+                                  chunk_size=123457)
+    assert n == len(data)
+    blob = dst.getvalue()
+    # one-shot embeds the known file size in the header (szMask field);
+    # a streaming writer cannot — compare against a size-less Writer
+    t, e = kanzi_tpu.LEVEL_PRESETS[2]
+    w = kanzi_tpu.Writer(None, transform=t, entropy=e,
+                         block_size=kanzi_tpu.block_size_for_level(2))
+    w.write(data)
+    w.close()
+    assert blob == w.getvalue()
+    out = io.BytesIO()
+    m = kanzi_tpu.decompress_stream(io.BytesIO(blob), out, chunk_size=99991)
+    assert m == len(data) and out.getvalue() == data
+    # real files too
+    p_in = tmp_path / "in.bin"
+    p_knz = tmp_path / "out.knz"
+    p_out = tmp_path / "out.bin"
+    p_in.write_bytes(data)
+    with open(p_in, "rb") as s, open(p_knz, "wb") as d:
+        kanzi_tpu.compress_stream(s, d, level=1)
+    with open(p_knz, "rb") as s, open(p_out, "wb") as d:
+        kanzi_tpu.decompress_stream(s, d)
+    assert p_out.read_bytes() == data
