@@ -41,6 +41,10 @@ def _configs():
                                block_size=65536)
     cfgs["big_chain"] = dict(transform="RLT+ZRLT+MTFT+RANK+SRT+LZ+LZP+BWT",
                              entropy="HUFFMAN", block_size=65536)
+    cfgs["rolzx_chain"] = dict(transform="ROLZX", entropy="TPAQ",
+                               block_size=65536)
+    cfgs["exe_fsd_chain"] = dict(transform="EXE+MM+PACK", entropy="FPAQ",
+                                 block_size=65536)
     return cfgs
 
 
