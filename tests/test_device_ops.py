@@ -131,3 +131,28 @@ def test_device_ans_decode_matches_input():
             payload, _ = native.entropy_encode(
                 et, np.frombuffer(data, np.uint8), {"bsVersion": 6})
             assert ans_decode_device(payload, len(data), order) == data
+
+
+def test_device_suffix_sort_bwt_identity():
+    """Prefix-doubling suffix sort on device (ops/suffix_sort.py) produces
+    the identical BWT block payload to the native SA-IS engine — the
+    suffix array is unique, so any correct algorithm must agree."""
+    import random
+    from kanzi_tpu.ops.suffix_sort import bwt_forward_device, \
+        suffix_array_device
+    from kanzi_tpu import native
+    rng = random.Random(3)
+    cases = [
+        bytes(rng.choice(b"ab") for _ in range(40)),
+        bytes(rng.choice(b"abracadabra") for _ in range(255)),
+        bytes(rng.choice(b"mississippi river basin") for _ in range(5000)),
+        b"aaaaabbbbb" * 600,
+        bytes(rng.randrange(256) for _ in range(6000)),
+    ]
+    for data in cases:
+        ref, _ = native.transform_forward(
+            1, np.frombuffer(data, np.uint8), {"blockSize": len(data)},
+            2 * len(data) + 64)
+        assert bwt_forward_device(data) == bytes(ref), len(data)
+    sa = suffix_array_device(b"banana")
+    assert list(sa) == [5, 3, 1, 0, 4, 2]
