@@ -257,7 +257,40 @@ static void inverseBiPSIv2(const u8* src, u8* dst, i32 count, const u32* indexes
 
     int nbTasks = std::min(jobs > 0 ? jobs : 1, chunks);
     if (nbTasks <= 1) {
-        walkChunks(0, chunks, nullptr);
+        // Single-thread: interleave all chunk walks in one loop so the 8
+        // independent LF chains keep ~8 cache misses in flight instead of 1
+        // (the same memory-level-parallelism trick mergeTPSI uses; byte
+        // order of writes is irrelevant — boundary bytes carry the same
+        // value from both sides, as the threaded split relies on).
+        i32 p[8], ii[8], ee[8];
+        i32 minSteps = INT32_MAX;
+        for (int c = 0; c < chunks; c++) {
+            i32 start = (i32)c * ckSize;
+            ee[c] = std::min(start + ckSize, count - 1);
+            p[c] = (i32)indexes[c];
+            ii[c] = start + 1;
+            i32 steps = ii[c] <= ee[c] ? (ee[c] - ii[c]) / 2 + 1 : 0;
+            minSteps = std::min(minSteps, steps);
+        }
+        for (i32 nn = 0; nn < minSteps; nn++) {
+            for (int c = 0; c < chunks; c++) {
+                u32 s = fastBits[p[c] >> shift];
+                while (buckets[s] <= p[c]) s++;
+                dst[ii[c] - 1] = (u8)(s >> 8);
+                dst[ii[c]] = (u8)s;
+                p[c] = data[p[c]];
+                ii[c] += 2;
+            }
+        }
+        for (int c = 0; c < chunks; c++) {
+            for (; ii[c] <= ee[c]; ii[c] += 2) {
+                u32 s = fastBits[p[c] >> shift];
+                while (buckets[s] <= p[c]) s++;
+                dst[ii[c] - 1] = (u8)(s >> 8);
+                dst[ii[c]] = (u8)s;
+                p[c] = data[p[c]];
+            }
+        }
     } else {
         // ComputeJobsPerTask split (v2/internal/Global.go:424-460)
         std::vector<std::thread> threads;
