@@ -100,9 +100,10 @@ def bwt_forward_device(data) -> bytes:
     src = np.frombuffer(bytes(data), np.uint8) if isinstance(
         data, (bytes, bytearray)) else np.asarray(data, np.uint8)
     n = len(src)
-    if n == 1:
-        # mode byte: 1-byte primary index, 1 chunk; index value 0 (pIdx+1-1)
-        return bytes([0, 0]) + src.tobytes()
+    if n < 2:
+        # pIndexSize would be 0 — the native codec skips such blocks
+        # (bwt.cpp bwtBlockForward), so there is no payload to mirror
+        raise ValueError("block too small for the BWT block codec")
     sa = suffix_array_device(src)
     chunks = 1 if n < 256 else 8
     step = -(-n // chunks)

@@ -156,3 +156,23 @@ def test_device_suffix_sort_bwt_identity():
         assert bwt_forward_device(data) == bytes(ref), len(data)
     sa = suffix_array_device(b"banana")
     assert list(sa) == [5, 3, 1, 0, 4, 2]
+
+
+def test_device_suffix_sort_edges():
+    from kanzi_tpu.ops.suffix_sort import bwt_forward_device, \
+        suffix_array_device
+    from kanzi_tpu import native
+    import pytest as _pytest
+    assert len(suffix_array_device(b"")) == 0
+    assert list(suffix_array_device(b"z")) == [0]
+    with _pytest.raises(ValueError):
+        bwt_forward_device(b"x")        # native skips n<2 too
+    with _pytest.raises(native.NativeSkip):
+        native.transform_forward(1, np.frombuffer(b"x", np.uint8),
+                                 {"blockSize": 1}, 64)
+    # exactly at the 1-chunk/8-chunk boundary
+    for n in (2, 255, 256, 257):
+        data = (b"abcab" * 80)[:n]
+        ref, _ = native.transform_forward(
+            1, np.frombuffer(data, np.uint8), {"blockSize": n}, 2 * n + 64)
+        assert bwt_forward_device(data) == bytes(ref), n
