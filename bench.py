@@ -243,6 +243,13 @@ def main():
     except Exception:
         detail["pallas_block_stats_gbps"] = 0.0
     print(json.dumps(detail), file=sys.stderr)
+    # Re-print the per-level matrix as the LAST stderr line: the driver
+    # records only the tail of combined output, and the full detail line
+    # above is long enough that its head (level 1!) was truncated out of
+    # BENCH_r02.json.  tools/gen_readme_perf.py parses this from the tail.
+    print(json.dumps({"levels": detail["levels"],
+                      "reference_per_core": detail["reference_per_core"]}),
+          file=sys.stderr)
 
     print(json.dumps({
         "metric": "silesia-like mixed corpus encode GB/s (level 1, 1 host core + 1 chip)",

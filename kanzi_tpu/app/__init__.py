@@ -51,8 +51,8 @@ _HELP = """Usage: kanzi_tpu [arguments]
    --rm                    remove the input file after successful processing
    --from=<n>, --to=<n>    decompress only blocks in [from, to)
    --no-file-reorder       keep command-line file order (multi-file mode)
-   --no-dot-files          skip dot files
-   --no-links              skip symbolic links
+   --no-dot-files          skip dot files (alias: --skip-dot-files)
+   --no-links              skip symbolic links (alias: --skip-links)
    --cpuProf=<file>        dump a CPU profile of the run to <file>
 """
 
@@ -148,10 +148,13 @@ def _parse_args(argv: list[str]) -> _Args | int:
             if arg == "--no-file-reorder":
                 a.file_reorder = False
                 continue
-            if arg == "--no-dot-files":
+            # Both spellings accepted: ours and the reference's
+            # (Kanzi.go:441,451 --skip-dot-files/--skip-links), so existing
+            # kanzi scripts work unchanged.
+            if arg in ("--no-dot-files", "--skip-dot-files"):
                 a.no_dot_files = True
                 continue
-            if arg == "--no-links":
+            if arg in ("--no-links", "--skip-links"):
                 a.no_links = True
                 continue
             key = None

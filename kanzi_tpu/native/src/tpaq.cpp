@@ -265,7 +265,13 @@ class TPAQPredictor {
         mixersSize <<= (2 * extraMem);
         statesSize <<= (2 * extraMem);
         hashSize <<= (2 * extraMem);
-        hashSize = std::min(hashSize, 1024u * 1024 * 1024);  // v6 cap
+        // The 1 GiB cap ("java compatibility") only applies to v6+ streams:
+        // TPAQPredictor.go:322-324 caps only when bsVersion > 5, so a v5
+        // stream with extra memory keeps the uncapped table and would
+        // mis-decode if we capped it here.  bsVersion==0 means "not set"
+        // (writer side / default ctx) and behaves as current-version.
+        if (ctx.bsVersion == 0 || ctx.bsVersion > 5)
+            hashSize = std::min(hashSize, 1024u * 1024 * 1024);
 
         // All large tables come from a thread-local grow-only pool: the
         // predictor is rebuilt per block, and repeated fresh allocations of

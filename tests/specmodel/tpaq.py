@@ -158,7 +158,11 @@ class SpecTPAQPredictor:
         mixers_size <<= 2 * extra_mem
         states_size <<= 2 * extra_mem
         hash_size <<= 2 * extra_mem
-        hash_size = min(hash_size, 1024 * 1024 * 1024)   # bsVersion 6 cap
+        # bsVersion>5 cap (TPAQPredictor.go:322-324).  Unreachable with the
+        # v2.5.1 constants: hash_size <= HASH_SIZE<<2 = 64M < 1G entries, so
+        # v5 and v6 predictors always size identically (pinned by
+        # test_format_vectors.py::test_tpaq_hash_cap_unreachable).
+        hash_size = min(hash_size, 1024 * 1024 * 1024)
 
         self.extra = extra
         self.mixers = [_Mixer() for _ in range(mixers_size)]

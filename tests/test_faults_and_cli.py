@@ -262,3 +262,20 @@ def test_cli_from_to_partial_decode_succeeds(tmp_path):
                        capture_output=True, text=True)
     assert r.returncode == 0, r.stderr
     assert out.read_bytes() == data[65536:3 * 65536]
+
+
+def test_cli_skip_dot_files_both_spellings(tmp_path):
+    """Both our --no-dot-files/--no-links and the reference's
+    --skip-dot-files/--skip-links (Kanzi.go:441,451) must filter dot files,
+    so existing kanzi invocations are drop-in compatible."""
+    (tmp_path / "plain.txt").write_bytes(b"visible data " * 20)
+    (tmp_path / ".hidden").write_bytes(b"dot file " * 20)
+    for flag in ("--no-dot-files", "--skip-dot-files"):
+        for f in tmp_path.glob("*.knz"):
+            f.unlink()
+        res = _run_cli(["-c", "-i", str(tmp_path), "-l", "1", "-f",
+                        "-v", "0", flag, "--no-links" if "no" in flag
+                        else "--skip-links"])
+        assert res.returncode == 0
+        produced = sorted(p.name for p in tmp_path.glob("*.knz"))
+        assert produced == ["plain.txt.knz"], (flag, produced)

@@ -853,3 +853,25 @@ def test_rolz_order1_literals_match_spec():
     back = native.transform_inverse(11, np.frombuffer(bytes(out), np.uint8),
                                     {}, len(data))
     assert bytes(back) == data
+
+
+def test_tpaq_hash_cap_unreachable():
+    """The 1 GiB TPAQ hash cap (TPAQPredictor.go:322-324) applies only when
+    bsVersion > 5.  With the v2.5.1 constants it can never bind: hashSize
+    starts at min(16M, mxsz) <= 16M entries and the TPAQX shift doubles it
+    twice to at most 64M < 1G.  Sweep every reachable sizing input and pin
+    that fact — it is what makes v5 and v6 TPAQ payloads byte-identical
+    (docs/PARITY.md), so the version gate in tpaq.cpp cannot change output.
+    """
+    HASH_SIZE = 16 * 1024 * 1024
+    CAP = 1024 * 1024 * 1024
+    worst = 0
+    sizes = [0, 1, 1 << 10, (1 << 26) - 1, 1 << 26, 1 << 28, 1 << 30,
+             (1 << 31) - 1, 1 << 31, (1 << 32) - 1]
+    for absz in sizes:
+        for extra in (0, 1):
+            mxsz = (1 << 30) if absz >= (1 << 26) else absz * 16
+            hash_size = min(HASH_SIZE, mxsz) << (2 * extra)
+            worst = max(worst, hash_size)
+            assert hash_size < CAP
+    assert worst == 64 * 1024 * 1024
