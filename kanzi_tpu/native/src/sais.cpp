@@ -9,19 +9,39 @@
 // character at the end), which yields the standard order where a suffix that
 // is a prefix of another sorts first — the same order divsufsort produces.
 //
-// Performance notes (this kernel dominates levels 5-7 encode):
-// - the (symbol, S/L-type) pair is fused into one element `st = sym<<1|type`,
-//   so the induced-sort inner loops touch ONE random cache line per suffix
-//   instead of two; level 0 uses u16 elements (257 symbols + type = 10 bits),
-//   halving memory traffic against an i32 symbol array;
-// - the induced sorts software-prefetch the st element of the suffix that
-//   will be processed a few iterations ahead (they are latency-bound random
-//   gathers; the SA read itself is sequential);
-// - scratch comes from a grow-only thread-local pool (fresh multi-MB
-//   allocations fault expensively on this host).
+// Performance notes (this kernel dominates levels 5-7 encode).  Round-3
+// restructure (libsais-class pass fusion, measured ~1.3x end to end on the
+// bench corpus; the per-pass accounting that motivated it is in
+// docs/ARCHITECTURE.md):
+// - ONE fused left-to-right pass computes the symbol histogram AND collects
+//   LMS positions (text order) into a scratch buffer with a branchless
+//   append; the buffer then drives both LMS placements, removing the two
+//   extra full-array scans (stage-1 re-scan + the stage-3 lmsPos rebuild)
+//   the textbook formulation performs;
+// - all recursion scratch (reduced string, its SA, the LMS buffer, fused
+//   element arrays) comes from grow-only per-depth pools — the textbook
+//   version allocated five fresh multi-MB vectors per recursion level,
+//   which this host's allocator punishes (~6 ms/MB first-touch);
+// - the (symbol, S/L-type) pair is fused into one element
+//   `st = sym<<1|type`, so the induced-sort inner loops touch ONE random
+//   cache line per suffix instead of two; level 0 uses u16 elements (257
+//   symbols + type = 10 bits), halving memory traffic against an i32 symbol
+//   array, and recursion levels with <32768 names (always, on text) do the
+//   same;
+// - the induced sorts software-prefetch the st element of the suffix
+//   processed SAIS_PREFETCH iterations ahead (latency-bound random gathers;
+//   the SA read itself is sequential); the scans are split so the main loop
+//   carries no prefetch bounds check.
+// Measured-and-rejected here (don't redo blindly): hugepage (MADV_HUGEPAGE)
+// scratch — neutral on this virtualized host; naming via an inverse-LMS
+// index writing the reduced string directly (fewer passes but random
+// scatter, 10-15% slower); fusing naming into the collect scan (slower);
+// packed (pos,prev-sym) induce entries (round 2, neutral).
 //
 // Ge Nong, Sen Zhang, Wai Hong Chan:
 // "Two Efficient Algorithms for Linear Time Suffix Array Construction" (2009).
+
+#include <memory>
 
 #include "kz.h"
 
@@ -31,19 +51,51 @@ namespace {
 
 constexpr int SAIS_PREFETCH = 16;
 
+struct SaisScratch {
+    std::vector<i32> s1, sa1, lms, counts, buckets;
+    std::vector<u16> st16;
+    std::vector<u32> st32;
+};
+
+// Grow-only per-recursion-depth scratch (depth is O(log n), in practice <=5)
+std::vector<std::unique_ptr<SaisScratch>>& saisScratchStack() {
+    static thread_local std::vector<std::unique_ptr<SaisScratch>> s;
+    return s;
+}
+
+SaisScratch& scratchAt(int depth) {
+    auto& s = saisScratchStack();
+    while ((int)s.size() <= depth) s.emplace_back(new SaisScratch);
+    return *s[depth];
+}
+
 // st: length n, st[i] = (sym[i] << 1) | Stype[i]; sym values in [0, K);
 // st[n-1] == 1 (sentinel: unique minimum symbol 0, S-type).
-// SA: length n output. buckets/counts: length K scratch.
+// SA: length n output.
 template <typename ST>
-void saisCore(const ST* st, i32* SA, i32 n, i32 K, std::vector<i32>& counts,
-              std::vector<i32>& buckets) {
-    auto isLMS = [&](i32 i) {
-        return i > 0 && (st[i] & 1) && !(st[i - 1] & 1);
-    };
-
+void saisCore(const ST* st, i32* SA, i32 n, i32 K, int depth) {
+    SaisScratch& S = scratchAt(depth);
+    std::vector<i32>& counts = S.counts;
+    std::vector<i32>& buckets = S.buckets;
     counts.assign(K, 0);
     buckets.resize(K);
-    for (i32 i = 0; i < n; i++) counts[st[i] >> 1]++;
+    if ((i32)S.lms.size() < (n >> 1) + 1) S.lms.resize((n >> 1) + 1);
+    i32* lms = S.lms.data();
+
+    // Fused pass: symbol counts + LMS positions in text order (branchless
+    // append: the slot is always written, the cursor advances only on LMS)
+    i32 m = 0;
+    {
+        ST prev = st[0];
+        counts[prev >> 1]++;
+        for (i32 i = 1; i < n; i++) {
+            ST cur = st[i];
+            counts[cur >> 1]++;
+            lms[m] = i;
+            m += (cur & 1) & ~(prev & 1);
+            prev = cur;
+        }
+    }
 
     auto bucketEnds = [&]() {
         i32 sum = 0;
@@ -61,13 +113,21 @@ void saisCore(const ST* st, i32* SA, i32 n, i32 K, std::vector<i32>& counts,
     };
 
     auto induce = [&]() {
-        // L-type left-to-right
+        // L-type left-to-right (split so the hot loop has no prefetch
+        // bounds check; writes only ever land at indices >= i, so the split
+        // point does not change what the tail loop observes)
         bucketStarts();
-        for (i32 i = 0; i < n; i++) {
-            if (i + SAIS_PREFETCH < n) {
-                i32 jp = SA[i + SAIS_PREFETCH];
-                if (jp > 0) __builtin_prefetch(&st[jp - 1]);
+        i32 lim = n - SAIS_PREFETCH > 0 ? n - SAIS_PREFETCH : 0;
+        for (i32 i = 0; i < lim; i++) {
+            i32 jp = SA[i + SAIS_PREFETCH];
+            __builtin_prefetch(&st[(jp > 0 ? jp : 1) - 1]);
+            i32 j = SA[i];
+            if (j > 0) {
+                ST prev = st[j - 1];
+                if (!(prev & 1)) SA[buckets[prev >> 1]++] = j - 1;
             }
+        }
+        for (i32 i = lim; i < n; i++) {
             i32 j = SA[i];
             if (j > 0) {
                 ST prev = st[j - 1];
@@ -76,11 +136,16 @@ void saisCore(const ST* st, i32* SA, i32 n, i32 K, std::vector<i32>& counts,
         }
         // S-type right-to-left
         bucketEnds();
-        for (i32 i = n - 1; i >= 0; i--) {
-            if (i - SAIS_PREFETCH >= 0) {
-                i32 jp = SA[i - SAIS_PREFETCH];
-                if (jp > 0) __builtin_prefetch(&st[jp - 1]);
+        for (i32 i = n - 1; i >= SAIS_PREFETCH; i--) {
+            i32 jp = SA[i - SAIS_PREFETCH];
+            __builtin_prefetch(&st[(jp > 0 ? jp : 1) - 1]);
+            i32 j = SA[i];
+            if (j > 0) {
+                ST prev = st[j - 1];
+                if (prev & 1) SA[--buckets[prev >> 1]] = j - 1;
             }
+        }
+        for (i32 i = (SAIS_PREFETCH < n ? SAIS_PREFETCH : n) - 1; i >= 0; i--) {
             i32 j = SA[i];
             if (j > 0) {
                 ST prev = st[j - 1];
@@ -89,17 +154,22 @@ void saisCore(const ST* st, i32* SA, i32 n, i32 K, std::vector<i32>& counts,
         }
     };
 
-    // Stage 1: place LMS suffixes at bucket ends, induce
+    // Stage 1: place LMS suffixes at bucket ends (descending text order,
+    // straight from the fused-pass buffer), induce-sort the LMS substrings
     std::fill(SA, SA + n, -1);
     bucketEnds();
-    for (i32 i = n - 1; i >= 1; i--)
-        if (isLMS(i)) SA[--buckets[st[i] >> 1]] = i;
+    for (i32 i = m - 1; i >= 0; i--) {
+        i32 j = lms[i];
+        SA[--buckets[st[j] >> 1]] = j;
+    }
     induce();
 
     // Collect sorted LMS positions
-    i32 m = 0;
-    for (i32 i = 0; i < n; i++)
-        if (SA[i] > 0 && isLMS(SA[i])) SA[m++] = SA[i];
+    i32 mm = 0;
+    for (i32 i = 0; i < n; i++) {
+        i32 j = SA[i];
+        if (j > 0 && (st[j] & 1) && !(st[j - 1] & 1)) SA[mm++] = j;
+    }
 
     // Name LMS substrings in SA[m..] (ceil(n/2) slots suffice); two LMS
     // substrings get the same name iff symbols AND types match throughout,
@@ -108,6 +178,9 @@ void saisCore(const ST* st, i32* SA, i32 n, i32 K, std::vector<i32>& counts,
     // the two substrings, not the per-element walk.)
     i32* names = SA + m;
     std::fill(names, SA + n, -1);
+    auto isLMS = [&](i32 i) {
+        return i > 0 && (st[i] & 1) && !(st[i - 1] & 1);
+    };
     i32 name = 0, prev = -1;
     for (i32 i = 0; i < m; i++) {
         i32 pos = SA[i];
@@ -135,64 +208,63 @@ void saisCore(const ST* st, i32* SA, i32 n, i32 K, std::vector<i32>& counts,
         names[pos >> 1] = name - 1;
     }
 
-    // Build the reduced string (LMS names in text order), with types
-    std::vector<i32> s1(m);
+    // Build the reduced string (LMS names in text order)
+    if ((i32)S.s1.size() < m) S.s1.resize(m);
+    if ((i32)S.sa1.size() < m) S.sa1.resize(m);
+    i32* s1 = S.s1.data();
+    i32* SA1 = S.sa1.data();
     for (i32 i = 0, j = 0; i < n - m; i++)
         if (names[i] >= 0) s1[j++] = names[i];
 
     // Stage 2: order LMS suffixes
-    std::vector<i32> SA1(m);
     if (name < m) {
         // recurse on the reduced string: compute its types, fuse, and go.
         // Text-like inputs keep every recursion level's alphabet small
         // (measured: <25k names at all depths on mixed text), so u16 fused
         // elements — half the random-gather footprint of the induce loops —
         // apply almost always; u32 is the correctness fallback.
-        std::vector<i32> saved(counts.begin(), counts.begin() + K);
         if (name < 32768) {
-            std::vector<u16> st1(m);
+            if ((i32)S.st16.size() < m) S.st16.resize(m);
+            u16* st1 = S.st16.data();
             st1[m - 1] = (u16)((s1[m - 1] << 1) | 1);
             for (i32 i = m - 2; i >= 0; i--) {
                 bool sType = (s1[i] < s1[i + 1]) ||
                              (s1[i] == s1[i + 1] && (st1[i + 1] & 1));
                 st1[i] = (u16)((s1[i] << 1) | (sType ? 1 : 0));
             }
-            saisCore<u16>(st1.data(), SA1.data(), m, name, counts, buckets);
+            saisCore<u16>(st1, SA1, m, name, depth + 1);
         } else {
-            std::vector<u32> st1(m);
+            if ((i32)S.st32.size() < m) S.st32.resize(m);
+            u32* st1 = S.st32.data();
             st1[m - 1] = (u32)(s1[m - 1] << 1) | 1;
             for (i32 i = m - 2; i >= 0; i--) {
                 bool sType = (s1[i] < s1[i + 1]) ||
                              (s1[i] == s1[i + 1] && (st1[i + 1] & 1));
                 st1[i] = ((u32)s1[i] << 1) | (sType ? 1 : 0);
             }
-            saisCore<u32>(st1.data(), SA1.data(), m, name, counts, buckets);
+            saisCore<u32>(st1, SA1, m, name, depth + 1);
         }
-        counts.assign(saved.begin(), saved.end());  // restore (K ints, not an n-pass)
-        buckets.resize(K);  // recursion shrank it to `name`; capacity is still >= K
+        // the recursion reused counts/buckets via its own depth slot, so
+        // this level's histograms are intact
     } else {
         for (i32 i = 0; i < m; i++) SA1[s1[i]] = i;
     }
 
-    // LMS positions in text order
-    std::vector<i32> lmsPos;
-    lmsPos.reserve(m);
-    for (i32 i = 1; i < n; i++)
-        if (isLMS(i)) lmsPos.push_back(i);
-
-    // Stage 3: place fully sorted LMS suffixes, induce final SA
+    // Stage 3: place fully sorted LMS suffixes (text positions via the
+    // fused-pass buffer), induce the final SA
     std::fill(SA, SA + n, -1);
     bucketEnds();
     for (i32 i = m - 1; i >= 0; i--) {
-        i32 j = lmsPos[SA1[i]];
+        i32 j = lms[SA1[i]];
         SA[--buckets[st[j] >> 1]] = j;
     }
     induce();
+    (void)mm;
 }
 
 struct SaisPools {
     std::vector<u16> st;
-    std::vector<i32> sa, counts, buckets;
+    std::vector<i32> sa;
 };
 
 SaisPools& saisPools() {
@@ -229,7 +301,7 @@ void suffixArray(const u8* src, i32* sa, i32 n) {
     }
     std::vector<i32>& SA = pools.sa;
     if ((i32)SA.size() < n + 1) SA.resize(n + 1);
-    saisCore<u16>(st.data(), SA.data(), n + 1, 257, pools.counts, pools.buckets);
+    saisCore<u16>(st.data(), SA.data(), n + 1, 257, 0);
     // SA[0] is the sentinel suffix; drop it
     std::memcpy(sa, SA.data() + 1, (size_t)n * sizeof(i32));
 }
