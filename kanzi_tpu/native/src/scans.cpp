@@ -5,6 +5,10 @@
 
 #include "kz.h"
 
+#ifdef __AVX512F__
+#include <immintrin.h>
+#endif
+
 namespace kz {
 
 void computeHistogram(const u8* block, i64 len, i32* freqs);
@@ -47,6 +51,88 @@ int sbrtForward(const u8* src, i32 count, u8* dst, i64 cap, int mode, i32* outLe
         *outLen = count;
         return 0;
     }
+
+#ifdef __AVX512F__
+    if (mode == 2) {
+        // RANK fast path (the hot loop of level-5 encode, measured 1.5-1.7x
+        // on post-BWT data).  Two structural changes vs the generic walk:
+        // - no s2r map at all: the symbol's rank is found by comparing the
+        //   64-entry r2s vectors (post-BWT data answers at rank 0 ~69% of
+        //   the time, so the first-element check short-circuits);  this
+        //   removes the per-move s2r fixup loop entirely — the costliest
+        //   part of long moves;
+        // - qr is sorted descending by construction, so the backward walk
+        //   `while (qr[rt-1] <= qc) rt--` equals counting entries > qc,
+        //   which vectorizes to compare-mask popcounts.
+        alignas(64) u8 r2sv[256];
+        alignas(64) i32 qrv[256] = {0};
+        i32 pv[256] = {0};
+        for (int i = 0; i < 256; i++) r2sv[i] = (u8)i;
+        for (i32 i = 0; i < count; i++) {
+            u8 c = src[i];
+            u32 r;
+            if (r2sv[0] == c) {
+                r = 0;
+            } else {
+                __m512i vc = _mm512_set1_epi8((char)c);
+                u64 m0 = _mm512_cmpeq_epi8_mask(
+                    _mm512_load_si512((const void*)&r2sv[0]), vc);
+                if (m0) {
+                    r = (u32)__builtin_ctzll(m0);
+                } else {
+                    u64 m1 = _mm512_cmpeq_epi8_mask(
+                        _mm512_load_si512((const void*)&r2sv[64]), vc);
+                    if (m1) {
+                        r = 64 + (u32)__builtin_ctzll(m1);
+                    } else {
+                        u64 m2 = _mm512_cmpeq_epi8_mask(
+                            _mm512_load_si512((const void*)&r2sv[128]), vc);
+                        if (m2) {
+                            r = 128 + (u32)__builtin_ctzll(m2);
+                        } else {
+                            r = 192 + (u32)__builtin_ctzll(
+                                _mm512_cmpeq_epi8_mask(_mm512_load_si512(
+                                    (const void*)&r2sv[192]), vc));
+                        }
+                    }
+                }
+            }
+            dst[i] = (u8)r;
+            i32 qc = (i + pv[c]) >> 1;
+            pv[c] = i;
+            u32 rt;
+            if (r <= 4) {
+                rt = r;
+                while (rt > 0 && qrv[rt - 1] <= qc) rt--;
+            } else {
+                __m512i vqc = _mm512_set1_epi32(qc);
+                u32 cnt = 0;
+                u32 full = r & ~15u;
+                for (u32 k = 0; k < full; k += 16) {
+                    __m512i v = _mm512_load_si512((const void*)&qrv[k]);
+                    cnt += (u32)_mm_popcnt_u32(
+                        _mm512_cmpgt_epi32_mask(v, vqc));
+                }
+                if (r & 15) {
+                    __mmask16 lane = (__mmask16)((1u << (r & 15)) - 1);
+                    __m512i v = _mm512_maskz_load_epi32(
+                        lane, (const void*)&qrv[full]);
+                    cnt += (u32)_mm_popcnt_u32(
+                        _mm512_mask_cmpgt_epi32_mask(lane, v, vqc));
+                }
+                rt = cnt;
+            }
+            if (rt < r) {
+                std::memmove(&r2sv[rt + 1], &r2sv[rt], r - rt);
+                std::memmove(&qrv[rt + 1], &qrv[rt], (r - rt) * sizeof(i32));
+            }
+            r2sv[rt] = c;
+            qrv[rt] = qc;
+        }
+        *outLen = count;
+        return 0;
+    }
+#endif
 
     for (i32 i = 0; i < count; i++) {
         u8 c = src[i];
