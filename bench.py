@@ -196,9 +196,10 @@ def main():
     slice4 = data[: 4 << 20]
     for lv in (0, 2, 3, 4, 5, 6, 7, 8, 9):
         d = slice4 if lv >= 8 else slice16
-        # levels 8/9: first run faults the (pooled) TPAQ tables once per
-        # process (~800 MB at TPAQX sizes); report the steady state
-        enc, dec, sz = bench_level(d, lv, repeat=2 if lv >= 8 else 1)
+        # levels 5-9: first run faults the pooled hot-path tables once per
+        # process (TPAQ ~800 MB at TPAQX sizes; BWT levels ~40 MB of
+        # suffix-sort scratch); report the steady state
+        enc, dec, sz = bench_level(d, lv, repeat=2 if lv >= 5 else 1)
         detail["levels"][str(lv)] = {
             "enc_gbps": round(enc / 1e9, 4), "dec_gbps": round(dec / 1e9, 4),
             "ratio": round(sz / len(d), 4)}

@@ -22,6 +22,7 @@
 namespace kz {
 
 void suffixArray(const u8* src, i32* sa, i32 n);
+const i32* suffixArrayView(const u8* src, i32 n);
 void computeHistogram(const u8* block, i64 len, i32* freqs);
 
 static constexpr i32 BWT_MAX_BLOCK_SIZE = 1024 * 1024 * 1024;
@@ -39,8 +40,9 @@ static void bwtForwardCore(const u8* src, u8* dst, i32 n, u32* indexes) {
         indexes[0] = 1;
         return;
     }
-    std::vector<i32> sa(n);
-    suffixArray(src, sa.data(), n);
+    // SA stays in the sorter's thread-local pool: no fresh n-word vector
+    // (first-touch costs ~6 ms/MB here) and no n-word copy out
+    const i32* saView = suffixArrayView(src, n);
 
     int idxCount = bwtChunks(n);
     i32 step = n / idxCount;
@@ -54,8 +56,8 @@ static void bwtForwardCore(const u8* src, u8* dst, i32 n, u32* indexes) {
     dst[0] = src[n - 1];
     i32 pIdx = -1;
     for (i32 j = 0; j < n; j++) {
-        if (j + 24 < n) __builtin_prefetch(&src[sa[j + 24] - 1]);
-        i32 s = sa[j];
+        if (j + 24 < n) __builtin_prefetch(&src[saView[j + 24] - 1]);
+        i32 s = saView[j];
         u64 q = (u64)(((unsigned __int128)(u32)s * recip) >> 62);
         if ((i64)(q * (u64)step) == (i64)s) indexes[q] = (u32)(j + 1);
         if (s == 0) {

@@ -274,13 +274,10 @@ SaisPools& saisPools() {
 
 }  // namespace
 
-// Standard suffix array of src (length n >= 1) into sa.
-void suffixArray(const u8* src, i32* sa, i32 n) {
-    if (n <= 0) return;
-    if (n == 1) {
-        sa[0] = 0;
-        return;
-    }
+// Suffix array into the thread-local pool; returns a pointer to it (valid
+// until the next suffix-sort call on this thread).  Lets the BWT forward
+// consume the SA without a fresh n-word allocation + n-word copy per block.
+const i32* suffixArrayView(const u8* src, i32 n) {
     SaisPools& pools = saisPools();
     std::vector<u16>& st = pools.st;
     if ((i32)st.size() < n + 1) st.resize(n + 1);
@@ -303,7 +300,17 @@ void suffixArray(const u8* src, i32* sa, i32 n) {
     if ((i32)SA.size() < n + 1) SA.resize(n + 1);
     saisCore<u16>(st.data(), SA.data(), n + 1, 257, 0);
     // SA[0] is the sentinel suffix; drop it
-    std::memcpy(sa, SA.data() + 1, (size_t)n * sizeof(i32));
+    return SA.data() + 1;
+}
+
+// Standard suffix array of src (length n >= 1) into sa.
+void suffixArray(const u8* src, i32* sa, i32 n) {
+    if (n <= 0) return;
+    if (n == 1) {
+        sa[0] = 0;
+        return;
+    }
+    std::memcpy(sa, suffixArrayView(src, n), (size_t)n * sizeof(i32));
 }
 
 }  // namespace kz
