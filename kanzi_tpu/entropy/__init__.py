@@ -90,13 +90,16 @@ def decode(etype: int, payload: bytes, out_len: int, ctx: dict) -> bytes:
         # stream) falls back to the host decoder, which owns the error
         # contract
         try:
+            hooks = ctx.get("deviceDecodeHooks") or {}
             if etype == HUFFMAN_TYPE:
                 from .huffman_device import huffman_decode_device
-                return huffman_decode_device(payload, out_len)
+                return huffman_decode_device(payload, out_len,
+                                             decode_fn=hooks.get("huffman"))
             if etype in (ANS0_TYPE, ANS1_TYPE):
                 from .ans_device import ans_decode_device
                 return ans_decode_device(payload, out_len,
-                                         0 if etype == ANS0_TYPE else 1)
+                                         0 if etype == ANS0_TYPE else 1,
+                                         decode_fn=hooks.get("ans"))
         except Exception:
             pass
     if etype == HUFFMAN_TYPE:

@@ -156,11 +156,15 @@ class DeviceANSEngine:
                                    dst, dst_off)
 
 
-# mesh override: parallel.mesh_reader installs a sharded decode kernel here
+# Legacy module-level override (used when no per-call hook is supplied).
+# Library callers should pass `decode_fn` (threaded from the Reader ctx's
+# "deviceDecodeHooks") instead: module state would make two concurrent mesh
+# Readers in one process clobber each other.
 decode_chunks_override = None
 
 
-def ans_decode_device(payload, out_len: int, order: int) -> bytes:
+def ans_decode_device(payload, out_len: int, order: int,
+                      decode_fn=None) -> bytes:
     """Decode an ANS payload with the device pipeline: host parses headers
     into freq->symbol maps and (cumFreq,freq) tables (kz_ans_dec_prepare);
     the TPU runs the 4-state forward decode for all chunks in one batched
@@ -183,7 +187,7 @@ def ans_decode_device(payload, out_len: int, order: int) -> bytes:
         end4 = sizes & ~3
         ngroups = (end4 // 4).astype(np.int32)
         glen = int(ngroups.max())
-        decode = decode_chunks_override or ops_ans.decode_chunks
+        decode = decode_fn or decode_chunks_override or ops_ans.decode_chunks
         syms, nread = decode(bufs[dev], states[dev], f2s[dev], dtabs[dev],
                              ngroups, order, lr, glen)
         syms = np.asarray(syms)

@@ -159,11 +159,14 @@ class _DeviceResult:
         return self._np
 
 
-# mesh override: parallel.mesh_reader installs a sharded decode kernel here
+# Legacy module-level override (used when no per-call hook is supplied).
+# Library callers should pass `decode_fn` (threaded from the Reader ctx's
+# "deviceDecodeHooks") instead: module state would make two concurrent mesh
+# Readers in one process clobber each other.
 decode_lanes_override = None
 
 
-def huffman_decode_device(payload, out_len: int) -> bytes:
+def huffman_decode_device(payload, out_len: int, decode_fn=None) -> bytes:
     """Decode a Huffman entropy payload with the device pipeline: the host
     parses chunk headers and builds the 4096-entry decode tables
     (kz_huffman_dec_prepare); the TPU runs the table-driven symbol decode
@@ -179,7 +182,7 @@ def huffman_decode_device(payload, out_len: int) -> bytes:
     if len(lanes):
         dev_chunks = np.nonzero(flags == 0)[0].astype(np.int32)
         table_idx = np.repeat(dev_chunks, 4)
-        decode = decode_lanes_override or ops_huffman.decode_lanes
+        decode = decode_fn or decode_lanes_override or ops_huffman.decode_lanes
         syms = np.asarray(decode(lanes, table_idx, dtables))
     else:
         syms = None

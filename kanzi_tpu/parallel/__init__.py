@@ -165,64 +165,53 @@ def shard_huffman_decode(mesh: Mesh):
                    in_shardings=(row2, row, repl), out_shardings=row2)
 
 
-class mesh_decode_session:
-    """Context manager routing the device entropy decoders through
-    mesh-sharded kernels (the decode-side mirror of mesh_writer): Huffman
-    lane rows and ANS chunk rows spread across the 'blocks' axis via the
-    modules' decode override hooks; inverse transforms and checksums stay
-    on host."""
+def mesh_decode_hooks(mesh: Mesh) -> dict:
+    """Mesh-sharded device entropy decode kernels, as a ctx fragment.
 
-    def __init__(self, mesh: Mesh):
-        from ..ops import ans as ops_ans
+    Returns {"huffman": fn, "ans": fn} for a Reader's
+    ``ctx["deviceDecodeHooks"]`` — the decode-side mirror of mesh_writer:
+    Huffman lane rows and ANS chunk rows spread across the 'blocks' axis;
+    inverse transforms and checksums stay on host.  The hooks are plain
+    per-Reader state (no module globals), so any number of concurrent mesh
+    Readers in one process are independent.
+    """
+    from ..ops import ans as ops_ans
 
-        n_dev = int(mesh.devices.size)
-        mesh_hdec = shard_huffman_decode(mesh)
+    n_dev = int(mesh.devices.size)
+    mesh_hdec = shard_huffman_decode(mesh)
 
-        def padded_decode_lanes(lanes, table_idx, dtables):
-            L = len(lanes)
-            pad = (-L) % n_dev
-            syms = mesh_hdec(_pad_rows(np.ascontiguousarray(lanes), pad),
-                             _pad_rows(np.ascontiguousarray(table_idx), pad),
-                             dtables)
-            return np.asarray(syms)[:L]
+    def padded_decode_lanes(lanes, table_idx, dtables):
+        L = len(lanes)
+        pad = (-L) % n_dev
+        syms = mesh_hdec(_pad_rows(np.ascontiguousarray(lanes), pad),
+                         _pad_rows(np.ascontiguousarray(table_idx), pad),
+                         dtables)
+        return np.asarray(syms)[:L]
 
-        row = NamedSharding(mesh, P("blocks"))
-        row2 = NamedSharding(mesh, P("blocks", None))
-        mesh_adec = jax.jit(ops_ans.decode_chunks,
-                            static_argnames=("order", "lr", "glen"),
-                            in_shardings=(row2, row2, row2,
-                                          NamedSharding(mesh, P("blocks", None, None)),
-                                          row),
-                            out_shardings=(NamedSharding(mesh, P("blocks", None, None)),
-                                           row))
+    row = NamedSharding(mesh, P("blocks"))
+    row2 = NamedSharding(mesh, P("blocks", None))
+    mesh_adec = jax.jit(ops_ans.decode_chunks,
+                        static_argnames=("order", "lr", "glen"),
+                        in_shardings=(row2, row2, row2,
+                                      NamedSharding(mesh, P("blocks", None, None)),
+                                      row),
+                        out_shardings=(NamedSharding(mesh, P("blocks", None, None)),
+                                       row))
 
-        def padded_decode_chunks(bufs, states, f2s, dtabs, ngroups,
-                                 order, lr, glen):
-            B = len(bufs)
-            pad = (-B) % n_dev
-            syms, nread = mesh_adec(
-                _pad_rows(np.ascontiguousarray(bufs), pad),
-                _pad_rows(np.ascontiguousarray(states), pad),
-                _pad_rows(np.ascontiguousarray(f2s), pad),
-                _pad_rows(np.ascontiguousarray(dtabs), pad),
-                _pad_rows(np.ascontiguousarray(ngroups), pad),
-                order, lr, glen)
-            return np.asarray(syms)[:B], np.asarray(nread)[:B]
+    def padded_decode_chunks(bufs, states, f2s, dtabs, ngroups,
+                             order, lr, glen):
+        B = len(bufs)
+        pad = (-B) % n_dev
+        syms, nread = mesh_adec(
+            _pad_rows(np.ascontiguousarray(bufs), pad),
+            _pad_rows(np.ascontiguousarray(states), pad),
+            _pad_rows(np.ascontiguousarray(f2s), pad),
+            _pad_rows(np.ascontiguousarray(dtabs), pad),
+            _pad_rows(np.ascontiguousarray(ngroups), pad),
+            order, lr, glen)
+        return np.asarray(syms)[:B], np.asarray(nread)[:B]
 
-        self._hfn = padded_decode_lanes
-        self._afn = padded_decode_chunks
-
-    def __enter__(self):
-        from ..entropy import huffman_device, ans_device
-        self._mods = (huffman_device, ans_device)
-        huffman_device.decode_lanes_override = self._hfn
-        ans_device.decode_chunks_override = self._afn
-        return self
-
-    def __exit__(self, *a):
-        hd, ad = self._mods
-        hd.decode_lanes_override = None
-        ad.decode_chunks_override = None
+    return {"huffman": padded_decode_lanes, "ans": padded_decode_chunks}
 
 
 def decompress_multichip(blob, mesh: Mesh) -> bytes:
@@ -232,20 +221,22 @@ def decompress_multichip(blob, mesh: Mesh) -> bytes:
 
     from ..kio import Reader
 
-    r = Reader(_io.BytesIO(bytes(blob)), ctx={"useDevice": True})
-    with mesh_decode_session(mesh):
-        out = bytearray()
-        while True:
-            c = r.read(1 << 20)
-            if not c:
-                break
-            out += c
+    r = Reader(_io.BytesIO(bytes(blob)),
+               ctx={"useDevice": True,
+                    "deviceDecodeHooks": mesh_decode_hooks(mesh)})
+    out = bytearray()
+    while True:
+        c = r.read(1 << 20)
+        if not c:
+            break
+        out += c
     return bytes(out)
 
 
 def compress_multichip(data, mesh: Mesh, transform: str = "LZ",
                        entropy: str = "HUFFMAN",
-                       block_size: int = 1 << 20, checksum: int = 0) -> bytes:
+                       block_size: int = 1 << 20, checksum: int = 0,
+                       **writer_kwargs) -> bytes:
     """End-to-end multi-chip compression of real data: host transforms +
     per-chunk tables, mesh-sharded entropy kernels, ordered frame splice.
     The output is byte-identical to the single-host stream (tested)."""
@@ -275,9 +266,12 @@ def dryrun_multichip(n_devices: int) -> None:
 
     Compresses a multi-block mixed corpus through the mesh-sharded device
     entropy engines (real per-chunk tables, real frames, real end marker)
-    for both the Huffman and rANS kernels, and asserts the streams are
-    byte-identical to the single-host C++ streams and decompress to the
-    input. Used by the driver with
+    across four configs — Huffman, rANS order 0 AND order 1 (per-chunk
+    order-1 context tables shard over the mesh), and a level-5-style
+    transform chain (host TEXT+UTF+BWT+RANK+ZRLT, mesh ANS0 entropy) with
+    64-bit block checksums — and asserts every stream is byte-identical to
+    the single-host C++ stream and decompresses to the input, both on host
+    and through the mesh-sharded decode hooks. Used by the driver with
     XLA_FLAGS=--xla_force_host_platform_device_count=N to validate the
     multi-chip path without N real chips; also keeps the shard_map
     compress-step smoke test for the collective plumbing.
@@ -286,13 +280,19 @@ def dryrun_multichip(n_devices: int) -> None:
 
     mesh = device_mesh(n_devices)
     corpus = _dryrun_corpus(max(n_devices, 4) * (1 << 18) + 12345)
-    for transform, entropy in (("LZ", "HUFFMAN"), ("NONE", "ANS0")):
+    configs = (
+        ("LZ", "HUFFMAN", 32),
+        ("NONE", "ANS0", 32),
+        ("NONE", "ANS1", 32),                       # order-1 context tables
+        ("TEXT+UTF+BWT+RANK+ZRLT", "ANS0", 64),     # level-5-style chain
+    )
+    for transform, entropy, cksum in configs:
         blob = compress_multichip(corpus, mesh, transform=transform,
                                   entropy=entropy, block_size=1 << 18,
-                                  checksum=32)
+                                  checksum=cksum)
         host = kanzi_tpu.compress(corpus, transform=transform,
                                   entropy=entropy, block_size=1 << 18,
-                                  checksum=32)
+                                  checksum=cksum)
         assert blob == host, f"{transform}&{entropy}: mesh stream != host"
         assert kanzi_tpu.decompress(blob) == corpus
         # the decode-side mirror: entropy stage sharded over the mesh
