@@ -100,6 +100,9 @@ def decode(etype: int, payload: bytes, out_len: int, ctx: dict) -> bytes:
                 return ans_decode_device(payload, out_len,
                                          0 if etype == ANS0_TYPE else 1,
                                          decode_fn=hooks.get("ans"))
+            if etype == RANGE_TYPE:
+                from .range_device import range_decode_device
+                return range_decode_device(payload, out_len)
         except Exception:
             pass
     if etype == HUFFMAN_TYPE:

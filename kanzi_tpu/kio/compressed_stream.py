@@ -300,6 +300,9 @@ class Writer:
                     from ..entropy.ans_device import DeviceANSEngine
                     self._dev_engine = DeviceANSEngine(
                         0 if self.entropy_type == entropy_mod.ANS0_TYPE else 1)
+                elif self.entropy_type == entropy_mod.RANGE_TYPE:
+                    from ..entropy.range_device import DeviceRangeEngine
+                    self._dev_engine = DeviceRangeEngine()
             except Exception:
                 self._dev_engine = None
 

@@ -145,6 +145,19 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        lib.kz_range_prepare.restype = ctypes.c_int
+        lib.kz_range_prepare.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.kz_range_assemble.restype = ctypes.c_int64
+        lib.kz_range_assemble.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        lib.kz_range_dec_chunk.restype = ctypes.c_int64
+        lib.kz_range_dec_chunk.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
         lib.kz_frame_append.restype = ctypes.c_int64
         lib.kz_frame_append.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
@@ -523,3 +536,70 @@ def huffman_prepare(data):
     if c < 0:
         raise RuntimeError("huffman prepare failed")
     return tables[:c], hdr[:c], hdr_bits[:c], flags[:c]
+
+
+RANGE_CHUNK = 1 << 15
+RANGE_HDR_STRIDE = 1024  # alphabet + 3-bit lr + <=256 12-bit freqs < 1 KiB
+
+
+def range_prepare(data):
+    """Per-chunk range-codec tables + encoded headers for the device
+    pipeline (kz_range_prepare).
+
+    Returns (tables (C,2,256) int32 [cumFreq, freq planes], hdr (C, stride)
+    uint8, hdr_bits (C,) int32, flags (C,) uint8 [0 device / 2 header-only],
+    shifts (C,) int32 per-chunk logRange)."""
+    lib = get_lib()
+    src = _as_buf(data)
+    n = len(src)
+    nchunks = max((n + RANGE_CHUNK - 1) // RANGE_CHUNK, 1)
+    tables = np.empty((nchunks, 2, 256), dtype=np.int32)
+    hdr = np.empty((nchunks, RANGE_HDR_STRIDE), dtype=np.uint8)
+    hdr_bits = np.empty(nchunks, dtype=np.int32)
+    flags = np.empty(nchunks, dtype=np.uint8)
+    shifts = np.empty(nchunks, dtype=np.int32)
+    c = lib.kz_range_prepare(src.ctypes.data, n, tables.ctypes.data,
+                             hdr.ctypes.data, RANGE_HDR_STRIDE,
+                             hdr_bits.ctypes.data, flags.ctypes.data,
+                             shifts.ctypes.data)
+    if c < 0:
+        raise RuntimeError(f"range prepare failed (err={c})")
+    return tables[:c], hdr[:c], hdr_bits[:c], flags[:c], shifts[:c]
+
+
+def range_assemble(block: np.ndarray, hdr: np.ndarray, hdr_bits: np.ndarray,
+                   flags: np.ndarray, words: np.ndarray, nwords: np.ndarray,
+                   lows: np.ndarray, dst: np.ndarray, dst_off: int = 0) -> int:
+    """Splice device-encoded range chunks (28-bit renorm words + final
+    60-bit low per chunk) into the final entropy payload, byte-identical to
+    the host encoder. Returns the payload bit length."""
+    lib = get_lib()
+    bits = lib.kz_range_assemble(
+        block.ctypes.data, len(block), hdr.ctypes.data, hdr.shape[1],
+        hdr_bits.ctypes.data, flags.ctypes.data,
+        words.ctypes.data, words.shape[1] if words.size else 0,
+        nwords.ctypes.data, lows.ctypes.data,
+        dst.ctypes.data + dst_off, len(dst) - dst_off)
+    if bits < 0:
+        raise RuntimeError(f"range assemble failed (err={bits})")
+    return int(bits)
+
+
+def range_dec_chunk(payload: np.ndarray, bit_pos: int, buf_cap: int):
+    """Parse ONE range chunk header at bit_pos and byte-align the rest of
+    the payload for the device scan (kz_range_dec_chunk).
+
+    Returns (new_bit_pos just past the header, tables (2,256) int32,
+    f2s (4096,) uint8, shift, flag, aux_sym, buf (buf_cap,) uint8)."""
+    lib = get_lib()
+    src = _as_buf(payload)
+    tables = np.empty((2, 256), dtype=np.int32)
+    f2s = np.empty(4096, dtype=np.uint8)
+    meta = np.empty(3, dtype=np.int32)
+    buf = np.empty(buf_cap, dtype=np.uint8)
+    pos = lib.kz_range_dec_chunk(src.ctypes.data, len(src), bit_pos,
+                                 tables.ctypes.data, f2s.ctypes.data,
+                                 meta.ctypes.data, buf.ctypes.data, buf_cap)
+    if pos < 0:
+        raise RuntimeError(f"range decode prepare failed (err={pos})")
+    return int(pos), tables, f2s, int(meta[0]), int(meta[1]), int(meta[2]), buf

@@ -4,6 +4,9 @@
 // alphabet + 3-bit logRange + log-max-bit-packed frequencies (first freq
 // inferred), then the 60-bit coder stream.
 
+#include <cstdio>
+#include <cstdlib>
+
 #include "entropy_common.h"
 
 namespace kz {
@@ -199,3 +202,146 @@ void rangeDecode(IBS& ibs, u8* block, i64 len, int bsVersion) {
 }
 
 }  // namespace kz
+
+// ---------------------------------------------------------------------------
+// Device-engine split (mirrors kz_ans_prepare / kz_ans_assemble): the host
+// builds per-chunk normalized tables + headers, the TPU runs the 60-bit
+// coder scan (kanzi_tpu/ops/range.py), and the host splices headers,
+// 28-bit renorm words and the final 60-bit low into the payload —
+// byte-identical to RangeEncoder::write.
+//
+// tables layout per chunk: 2 planes of 256 int32 — cumFreq, freq.
+// flags: 0 = encode on device, 2 = header-only chunk (alphabet <= 1).
+// ---------------------------------------------------------------------------
+extern "C" int kz_range_prepare(const uint8_t* block, int64_t len,
+                                int32_t* tables, uint8_t* hdr,
+                                int64_t hdrStride, int32_t* hdrBits,
+                                uint8_t* flags, int32_t* shifts) {
+    try {
+        using namespace kz;
+        int c = 0;
+        i64 startChunk = 0;
+        while (startChunk < len) {
+            i64 endChunk = std::min(startChunk + (i64)RANGE_CHUNK_SIZE, len);
+            i64 n = endChunk - startChunk;
+            u32 lr = RANGE_LOG_RANGE;
+            while (lr > 8 && ((i64)1 << lr) > n) lr--;
+
+            OBS obs(hdr + (size_t)c * hdrStride, hdrStride);
+            RangeEncoder enc(obs);
+            computeHistogram(block + startChunk, n, enc.freqs);
+            int alpha = normalizeFrequencies(enc.freqs, 256, enc.alphabet,
+                                             (int)n, 1 << lr);
+            if (alpha > 0) {
+                enc.cumFreqs[0] = 0;
+                for (int i = 0; i < 256; i++)
+                    enc.cumFreqs[i + 1] = enc.cumFreqs[i] + (u64)enc.freqs[i];
+            }
+            enc.encodeHeader(alpha, lr);
+            hdrBits[c] = (i32)obs.written();
+            obs.close();
+            flags[c] = alpha <= 1 ? 2 : 0;
+            shifts[c] = (i32)lr;
+            i32* t = tables + (size_t)c * 2 * 256;
+            for (int i = 0; i < 256; i++) {
+                t[i] = (i32)enc.cumFreqs[i];
+                t[256 + i] = enc.freqs[i];
+            }
+            startChunk = endChunk;
+            c++;
+        }
+        return c;
+    } catch (const std::exception&) {
+        return -1;
+    }
+}
+
+extern "C" int64_t kz_range_assemble(const uint8_t* block, int64_t len,
+                                     const uint8_t* hdr, int64_t hdrStride,
+                                     const int32_t* hdrBits,
+                                     const uint8_t* flags,
+                                     const uint32_t* words,
+                                     int64_t wordStride,
+                                     const int32_t* nwords,
+                                     const uint32_t* lows,
+                                     uint8_t* dst, int64_t cap) {
+    try {
+        using namespace kz;
+        OBS obs(dst, cap);
+        i64 startChunk = 0;
+        int c = 0;
+        while (startChunk < len) {
+            i64 endChunk = std::min(startChunk + (i64)RANGE_CHUNK_SIZE, len);
+            obs.writeArray(hdr + (size_t)c * hdrStride, (u64)hdrBits[c]);
+            if (flags[c] != 2) {
+                const u32* w = words + (size_t)c * wordStride;
+                for (i32 k = 0; k < nwords[c]; k++)
+                    obs.writeBits((u64)w[k], 28);
+                u64 low = ((u64)lows[2 * c + 1] << 32) | lows[2 * c];
+                obs.writeBits(low, 60);
+            }
+            startChunk = endChunk;
+            c++;
+        }
+        u64 bits = obs.written();
+        obs.close();
+        return (int64_t)bits;
+    } catch (const std::exception&) {
+        return -1;
+    }
+}
+
+// Decode-side split, one chunk at a time: the range format carries no
+// per-chunk stream length (a chunk's header begins where the previous
+// chunk's last renorm read ended), so boundaries are only known after
+// decoding — the host parses the header at bitPos, byte-aligns the rest of
+// the payload into buf for the device scan, and advances its cursor by
+// 60 + 28*nreads afterwards.  meta out: [0]=shift, [1]=flag (0 device /
+// 2 single-symbol), [2]=aux symbol.  Returns the bit position just past
+// the header, or a negative error code (caller falls back to host decode).
+extern "C" int64_t kz_range_dec_chunk(const uint8_t* payload,
+                                      int64_t payloadBytes, int64_t bitPos,
+                                      int32_t* tables, uint8_t* f2s,
+                                      int32_t* meta, uint8_t* buf,
+                                      int64_t bufCap) {
+    try {
+        using namespace kz;
+        IBS ibs(payload, payloadBytes);
+        for (i64 skip = bitPos; skip > 0;) {
+            int b = (int)std::min<i64>(skip, 48);
+            ibs.readBits(b);
+            skip -= b;
+        }
+        RangeDecoder dec(ibs);
+        int alpha = dec.decodeHeader();
+        if (alpha == 0) return -3;
+        i64 hdrEnd = (i64)ibs.read();
+        if (alpha == 1) {
+            meta[0] = 0;
+            meta[1] = 2;
+            meta[2] = dec.alphabet[0];
+            return hdrEnd;
+        }
+        if ((i64)dec.f2s.size() > 4096) return -4;
+        meta[0] = (i32)dec.shift;
+        meta[1] = 0;
+        meta[2] = 0;
+        for (int i = 0; i < 256; i++) {
+            tables[i] = (i32)dec.cumFreqs[i];
+            tables[256 + i] = dec.freqs[i];
+        }
+        std::memset(f2s, 0, 4096);
+        for (size_t i = 0; i < dec.f2s.size(); i++) f2s[i] = (u8)dec.f2s[i];
+        // byte-align the remaining payload bits into buf (+ zero guard)
+        i64 rest = payloadBytes * 8 - hdrEnd;
+        if (rest < 0) return -5;
+        i64 copyBits = std::min(rest, (bufCap - 16) * 8);
+        if (copyBits < 0) return -6;
+        std::memset(buf, 0, (size_t)bufCap);
+        if (copyBits > 0) ibs.readArray(buf, (u64)copyBits);
+        return hdrEnd;
+    } catch (const std::exception& e) {
+        if (std::getenv("KZ_DEBUG")) std::fprintf(stderr, "kz_range_dec_chunk: %s\n", e.what());
+        return -1;
+    }
+}

@@ -176,3 +176,75 @@ def test_device_suffix_sort_edges():
         ref, _ = native.transform_forward(
             1, np.frombuffer(data, np.uint8), {"blockSize": n}, 2 * n + 64)
         assert bwt_forward_device(data) == bytes(ref), n
+
+
+def test_device_range_encode_matches_host():
+    """Device range encode (ops/range.py encode_chunks via the engine
+    split) must be byte-identical to the host coder on the device-ops
+    matrix plus range-specific shapes (32 KiB chunk edges, reduced
+    logRange on small final chunks)."""
+    from kanzi_tpu.entropy.range_device import range_encode_device
+    cases = dict(_cases())
+    cases["chunk32k_edge"] = os.urandom((1 << 15) + 97)
+    cases["two_chunks_text"] = (open("/root/repo/SURVEY.md", "rb").read()
+                                * 3)[: (1 << 16) + 1234]
+    for name, data in cases.items():
+        host, hbits = native.entropy_encode(
+            4, np.frombuffer(data, np.uint8), {"bsVersion": 6})
+        dev, dbits = range_encode_device(data)
+        assert dbits == hbits, f"{name}: bit count mismatch"
+        assert dev == host, f"{name}: payload mismatch"
+
+
+def test_device_range_decode_matches_input():
+    from kanzi_tpu.entropy.range_device import range_decode_device
+    cases = dict(_cases())
+    cases["chunk32k_edge"] = os.urandom((1 << 15) + 97)
+    for name, data in cases.items():
+        payload, _ = native.entropy_encode(
+            4, np.frombuffer(data, np.uint8), {"bsVersion": 6})
+        out = range_decode_device(payload, len(data))
+        assert out == data, f"{name}: decode mismatch"
+
+
+def test_device_range_writer_reader_identity():
+    """Writer ctx useDevice with entropy=RANGE must produce the exact host
+    stream; Reader ctx useDevice must decode it through the device path."""
+    import io
+    import kanzi_tpu
+    from kanzi_tpu.kio import Reader, Writer
+    rng = np.random.default_rng(11)
+    data = (open("/root/repo/SURVEY.md", "rb").read() * 3)[:120000] \
+        + rng.integers(0, 256, 40000, dtype=np.uint8).tobytes()
+    host = kanzi_tpu.compress(data, transform="LZ", entropy="RANGE",
+                              block_size=65536, checksum=32)
+    w = Writer(None, transform="LZ", entropy="RANGE", block_size=65536,
+               checksum=32, ctx={"useDevice": True}, file_size=len(data))
+    assert w._dev_engine is not None
+    w.write(data)
+    w.close()
+    assert w.getvalue() == host
+    r = Reader(io.BytesIO(host), ctx={"useDevice": True})
+    out = bytearray()
+    while True:
+        c = r.read(1 << 20)
+        if not c:
+            break
+        out += c
+    assert bytes(out) == data
+
+
+def test_range_degenerate_chunk_reference_parity():
+    """kanzi-go's NormalizeFrequencies can leave sum(freqs) > scale on
+    small near-uniform chunks (all scaled freqs <= 2); the reference then
+    emits a stream its own decoder rejects (RangeCodec.go:461,
+    docs/PARITY.md).  We reproduce both sides: host and device decode fail
+    identically on our (reference-identical) encoder's output."""
+    from kanzi_tpu.entropy.range_device import range_decode_device
+    data = np.random.default_rng(99).integers(0, 200, 500, dtype=np.uint8)
+    payload, _ = native.entropy_encode(4, data, {"bsVersion": 6})
+    with pytest.raises(Exception):
+        native.entropy_decode(4, np.frombuffer(payload, np.uint8),
+                              len(data), {"bsVersion": 6})
+    with pytest.raises(Exception):
+        range_decode_device(payload, len(data))
