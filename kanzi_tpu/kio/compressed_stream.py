@@ -738,7 +738,7 @@ class Reader:
         if br.read_bits(32) != BITSTREAM_TYPE:
             raise KanziError("Invalid stream type", ERR_INVALID_FILE)
         bs_version = br.read_bits(4)
-        if bs_version > BITSTREAM_FORMAT_VERSION or bs_version < 5:
+        if bs_version > BITSTREAM_FORMAT_VERSION:
             raise KanziError(
                 f"Invalid bitstream, cannot read this version of the stream: {bs_version}",
                 ERR_STREAM_VERSION)
@@ -778,31 +778,52 @@ class Reader:
                 ERR_BLOCK_SIZE)
         self.ctx["blockSize"] = self.block_size
 
-        sz_mask = br.read_bits(2)
-        if sz_mask:
-            self.outputSize = br.read_bits(16 * sz_mask)
-            self.ctx["outputSize"] = self.outputSize
+        if bs_version >= 5:
+            sz_mask = br.read_bits(2)
+            if sz_mask:
+                self.outputSize = br.read_bits(16 * sz_mask)
+                self.ctx["outputSize"] = self.outputSize
 
-        crc_size, seed = 16, bs_version
-        if bs_version >= 6:
-            br.read_bits(15)  # padding
-            crc_size = 24
-            seed = (0x01030507 * bs_version) & _M32
+            crc_size, seed = 16, bs_version
+            if bs_version >= 6:
+                br.read_bits(15)  # padding
+                crc_size = 24
+                seed = (0x01030507 * bs_version) & _M32
 
-        cksum1 = br.read_bits(crc_size)
-        cksum2 = (_HEADER_HASH * seed) & _M32
-        if bs_version >= 6:
-            cksum2 ^= (_HEADER_HASH * ((~ck_size) & _M32)) & _M32
-        cksum2 ^= (_HEADER_HASH * ((~self.entropy_type) & _M32)) & _M32
-        cksum2 ^= (_HEADER_HASH * (((~self.transform_type) >> 32) & _M32)) & _M32
-        cksum2 ^= (_HEADER_HASH * ((~self.transform_type) & _M32)) & _M32
-        cksum2 ^= (_HEADER_HASH * ((~self.block_size) & _M32)) & _M32
-        if sz_mask:
-            cksum2 ^= (_HEADER_HASH * (((~self.outputSize) >> 32) & _M32)) & _M32
-            cksum2 ^= (_HEADER_HASH * ((~self.outputSize) & _M32)) & _M32
-        cksum2 = ((cksum2 >> 23) ^ (cksum2 >> 3)) & ((1 << crc_size) - 1)
-        if cksum1 != cksum2:
-            raise KanziError("Invalid bitstream: checksum mismatch", ERR_CRC_CHECK)
+            cksum1 = br.read_bits(crc_size)
+            cksum2 = (_HEADER_HASH * seed) & _M32
+            if bs_version >= 6:
+                cksum2 ^= (_HEADER_HASH * ((~ck_size) & _M32)) & _M32
+            cksum2 ^= (_HEADER_HASH * ((~self.entropy_type) & _M32)) & _M32
+            cksum2 ^= (_HEADER_HASH * (((~self.transform_type) >> 32) & _M32)) & _M32
+            cksum2 ^= (_HEADER_HASH * ((~self.transform_type) & _M32)) & _M32
+            cksum2 ^= (_HEADER_HASH * ((~self.block_size) & _M32)) & _M32
+            if sz_mask:
+                cksum2 ^= (_HEADER_HASH * (((~self.outputSize) >> 32) & _M32)) & _M32
+                cksum2 ^= (_HEADER_HASH * ((~self.outputSize) & _M32)) & _M32
+            cksum2 = ((cksum2 >> 23) ^ (cksum2 >> 3)) & ((1 << crc_size) - 1)
+            if cksum1 != cksum2:
+                raise KanziError("Invalid bitstream: checksum mismatch", ERR_CRC_CHECK)
+        elif bs_version >= 3:
+            # v3/v4 header (CompressedStream.go:1461-1474): 6-bit input block
+            # count and a 4-bit checksum over the UNinverted fields
+            nb_input_blocks = br.read_bits(6)
+            cksum1 = br.read_bits(4)
+            cksum2 = (_HEADER_HASH * bs_version) & _M32
+            cksum2 ^= (_HEADER_HASH * (self.entropy_type & _M32)) & _M32
+            cksum2 ^= (_HEADER_HASH * ((self.transform_type >> 32) & _M32)) & _M32
+            cksum2 ^= (_HEADER_HASH * (self.transform_type & _M32)) & _M32
+            cksum2 ^= (_HEADER_HASH * (self.block_size & _M32)) & _M32
+            cksum2 ^= (_HEADER_HASH * (nb_input_blocks & _M32)) & _M32
+            cksum2 = ((cksum2 >> 23) ^ (cksum2 >> 3)) & 0x0F
+            if cksum1 != cksum2:
+                raise KanziError("Invalid bitstream: corrupted header",
+                                 ERR_INVALID_FILE)
+        else:
+            # pre-v3 header (CompressedStream.go:1475-1479): block count +
+            # 4 reserved bits, no checksum
+            br.read_bits(6)
+            br.read_bits(4)
 
         if self.listeners:
             _notify(self.listeners, Event(
@@ -848,15 +869,6 @@ class Reader:
                 (to is not None and self._block_id >= to):
             br._pos += bits  # skipped block: advance past the payload
             return True
-
-        if int(self.ctx.get("bsVersion", BITSTREAM_FORMAT_VERSION)) < 5:
-            # version-5 payloads decode (legacy Huffman single-stream chunks,
-            # BWT per-chunk headers, LZX v4 layout, text codec-2 old word
-            # indexes); older versions (v1-v4 chunk layouts, pre-v5 headers)
-            # remain out of scope — fail clearly instead of decoding garbage
-            raise KanziError(
-                "Legacy bitstream payloads (version < 5) are not supported",
-                ERR_STREAM_VERSION)
 
         if self._fast is None:
             # freeze the path on the first block so output ordering is

@@ -309,8 +309,12 @@ static int ansDecodeHeaderTables(IBS& ibs, int order, u32& logRange,
 
 class ANSDecoder {
   public:
-    ANSDecoder(IBS& ibs, int order, int chunkSizeArg = 0) : ibs_(ibs), order_(order) {
-        int cs = chunkSizeArg > 0 ? chunkSizeArg : ANS0_CHUNK_SIZE;
+    ANSDecoder(IBS& ibs, int order, int chunkSizeArg = 0, int bsVersion = 6)
+        : ibs_(ibs), order_(order), bsVersion_(bsVersion) {
+        // Prior to bitstream v4 the default chunk size was 32768
+        // (ANSRangeCodec.go:560-563)
+        int cs = chunkSizeArg > 0 ? chunkSizeArg
+                 : (bsVersion > 0 && bsVersion < 4 ? 32768 : ANS0_CHUNK_SIZE);
         if (order == 1) cs = std::min(cs << 8, ANS_MAX_CHUNK_SIZE);
         chunkSize_ = cs;
         logRange_ = ANS_DEFAULT_LOG_RANGE;
@@ -332,6 +336,8 @@ class ANSDecoder {
             if (alphabetSize == 0) throw Error("invalid ANS header");
             if (order_ == 0 && alphabetSize == 1) {
                 std::memset(block + startChunk, alphabet[0], endChunk - startChunk);
+            } else if (bsVersion_ == 1) {
+                decodeChunkV1(block + startChunk, (int)(endChunk - startChunk));
             } else {
                 if (!decodeChunk(block + startChunk, (int)(endChunk - startChunk)))
                     throw Error("invalid ANS chunk size");
@@ -353,6 +359,68 @@ class ANSDecoder {
             // left shift of a negative value is UB (caught by UBSAN fuzz)
             st = (int)(((u32)st << 16) | ((u32)buffer_[n] << 8) | buffer_[n + 1]);
             n += 2;
+        }
+    }
+
+    // Bitstream v1 chunk layout (ANSRangeCodec.go:759-843): two interleaved
+    // states for order 0 (one for order 1), renormalization pulls byte
+    // PAIRS while the state is below 2^15, odd tail byte stored raw at the
+    // end of the renorm buffer.
+    void decodeChunkV1(u8* block, int len) {
+        u32 sz = readVarInt(ibs_) & (ANS_MAX_CHUNK_SIZE - 1);
+        int st0 = (int)ibs_.readBits(32);
+        int st1 = 0;
+        if (order_ == 0) st1 = (int)ibs_.readBits(32);
+        if (sz == 0) return;
+        if ((i64)buffer_.size() < (i64)sz + ((i64)sz >> 3) + 64)
+            buffer_.resize((size_t)sz + (sz >> 3) + 64);
+        ibs_.readArray(buffer_.data(), 8 * (u64)sz);
+        std::memset(buffer_.data() + sz, 0,
+                    std::min((size_t)64, buffer_.size() - sz));
+
+        i64 n = 0;
+        u32 lr = logRange_;
+        int mask = (1 << lr) - 1;
+
+        if (order_ == 0) {
+            const u8* freq2sym = f2s_.data();
+            const DecSymbol* symb = symbols_.data();
+            int end2 = (len & ~1) - 1;
+            for (int i = 0; i < end2; i += 2) {
+                u8 cur1 = freq2sym[st1 & mask];
+                block[i] = cur1;
+                const DecSymbol& sym1 = symb[cur1];
+                u8 cur0 = freq2sym[st0 & mask];
+                block[i + 1] = cur0;
+                const DecSymbol& sym0 = symb[cur0];
+                st1 = sym1.freq * (st1 >> lr) + (st1 & mask) - sym1.cumFreq;
+                st0 = sym0.freq * (st0 >> lr) + (st0 & mask) - sym0.cumFreq;
+                while ((u32)st1 < (u32)ANS_TOP && n + 1 < (i64)buffer_.size()) {
+                    st1 = (int)(((u32)st1 << 8) | buffer_[n]);
+                    st1 = (int)(((u32)st1 << 8) | buffer_[n + 1]);
+                    n += 2;
+                }
+                while ((u32)st0 < (u32)ANS_TOP && n + 1 < (i64)buffer_.size()) {
+                    st0 = (int)(((u32)st0 << 8) | buffer_[n]);
+                    st0 = (int)(((u32)st0 << 8) | buffer_[n + 1]);
+                    n += 2;
+                }
+            }
+            if (len & 1) block[len - 1] = buffer_[sz - 1];
+        } else {
+            int prv = 0;
+            for (int i = 0; i < len; i++) {
+                u8 cur = f2s_[((size_t)prv << lr) + (st0 & mask)];
+                block[i] = cur;
+                const DecSymbol& sym = symbols_[(prv << 8) + cur];
+                st0 = sym.freq * (st0 >> lr) + (st0 & mask) - sym.cumFreq;
+                while ((u32)st0 < (u32)ANS_TOP && n + 1 < (i64)buffer_.size()) {
+                    st0 = (int)(((u32)st0 << 8) | buffer_[n]);
+                    st0 = (int)(((u32)st0 << 8) | buffer_[n + 1]);
+                    n += 2;
+                }
+                prv = cur;
+            }
         }
     }
 
@@ -427,6 +495,7 @@ class ANSDecoder {
 
     IBS& ibs_;
     int order_;
+    int bsVersion_;
     int chunkSize_;
     u32 logRange_;
     std::vector<i32> freqs_;
@@ -446,14 +515,14 @@ void ansEncodeChunked(OBS& obs, const u8* block, i64 len, int order, int chunkSi
     enc.write(block, len);
 }
 
-void ansDecodeChunked(IBS& ibs, u8* block, i64 len, int order, int chunkSize) {
-    ANSDecoder dec(ibs, order, chunkSize);
+void ansDecodeChunked(IBS& ibs, u8* block, i64 len, int order, int chunkSize,
+                      int bsVersion) {
+    ANSDecoder dec(ibs, order, chunkSize, bsVersion);
     dec.read(block, len);
 }
 
 void ansDecode(IBS& ibs, u8* block, i64 len, int order, int bsVersion) {
-    (void)bsVersion;  // v6 payloads only (v1 legacy chunk layout unsupported)
-    ANSDecoder dec(ibs, order);
+    ANSDecoder dec(ibs, order, 0, bsVersion > 0 ? bsVersion : 6);
     dec.read(block, len);
 }
 

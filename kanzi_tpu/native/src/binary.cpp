@@ -28,7 +28,11 @@ static constexpr i64 BIN_MAX_CHUNK = (i64)1 << 26;
 // ---------------------------------------------------------------------------
 class CMPredictor {
   public:
-    explicit CMPredictor(const Ctx&) {
+    explicit CMPredictor(const Ctx& ctx) {
+        // bsVersion < 4 differences (CMPredictor.go:55,71-77,126-131):
+        // counter2[16] initialized to 15<<12, and get() refines through an
+        // interpolated SSE step instead of the averaged form
+        isV3_ = ctx.bsVersion > 0 && ctx.bsVersion < 4;
         ctx_ = 1;
         runMask_ = 0;
         c1_ = c2_ = 0;
@@ -39,8 +43,8 @@ class CMPredictor {
                 counter2_[i + i][j] = j << 12;
                 counter2_[i + i + 1][j] = j << 12;
             }
-            counter2_[i + i][16] = 65535;
-            counter2_[i + i + 1][16] = 65535;
+            counter2_[i + i][16] = isV3_ ? (15 << 12) : 65535;
+            counter2_[i + i + 1][16] = isV3_ ? (15 << 12) : 65535;
         }
     }
 
@@ -75,10 +79,15 @@ class CMPredictor {
         idx_ = p >> 12;
         int x2 = pc2[idx_ + 1];
         int x1 = pc2[idx_];
+        if (isV3_) {
+            int ssep = x1 + (((x2 - x1) * (p & 4095)) >> 12);
+            return (p + 3 * ssep + 32) >> 6;  // [0..4095]
+        }
         return (p + p + 3 * (x1 + x2) + 64) >> 7;  // [0..4095]
     }
 
   private:
+    bool isV3_;
     u8 c1_, c2_;
     i32 ctx_, runMask_;
     int idx_;

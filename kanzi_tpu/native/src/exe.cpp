@@ -533,8 +533,42 @@ static int inverseARM(const u8* src, i64 count, u8* dst, i64 cap, i32* outLen) {
     return 0;
 }
 
+// bsVersion < 3 format (EXECodec.go:451-505): no mode byte, X86-only jump
+// rewriting with 0xD5-xored address bytes and an 0xF5 escape
+static int inverseV2Exe(const u8* src, i64 count, u8* dst, i64 cap, i32* outLen) {
+    if (count > cap) throw Error("EXE inverse: invalid data");
+    i64 srcIdx = 0, dstIdx = 0;
+    i64 end = count - 8;
+    while (srcIdx < end) {
+        dst[dstIdx++] = src[srcIdx++];
+        if ((src[srcIdx - 1] & X86_MASK_JUMP) != X86_INSTRUCTION_JUMP)
+            continue;
+        if (src[srcIdx] == 0xF5) {  // escaped: not an encoded address
+            srcIdx++;
+            continue;
+        }
+        u8 sgn = (u8)(src[srcIdx] - 1);
+        if (sgn != 0 && sgn != 0xFF) continue;  // false positive
+        i32 addr = (i32)((0xD5 ^ (u32)src[srcIdx + 3]) |
+                         ((0xD5 ^ (u32)src[srcIdx + 2]) << 8) |
+                         ((0xD5 ^ (u32)src[srcIdx + 1]) << 16) |
+                         ((0xFFu & (u32)sgn) << 24));
+        addr -= (i32)dstIdx;
+        dst[dstIdx] = (u8)addr;
+        dst[dstIdx + 1] = (u8)(addr >> 8);
+        dst[dstIdx + 2] = (u8)(addr >> 16);
+        dst[dstIdx + 3] = sgn;
+        srcIdx += 4;
+        dstIdx += 4;
+    }
+    while (srcIdx < count) dst[dstIdx++] = src[srcIdx++];
+    *outLen = (i32)dstIdx;
+    return 0;
+}
+
 int exeInverse(const u8* src, i32 count, u8* dst, i64 cap, Ctx& ctx, i32* outLen) {
-    (void)ctx;
+    if (ctx.bsVersion > 0 && ctx.bsVersion < 3)  // EXECodec.go:101,312
+        return inverseV2Exe(src, count, dst, cap, outLen);
     if (count < 9) throw Error("EXE inverse: invalid data");
     u8 mode = src[0];
     if (mode == EXE_X86) return inverseX86(src, count, dst, cap, outLen);

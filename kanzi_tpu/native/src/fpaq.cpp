@@ -81,7 +81,10 @@ void fpaqEncode(OBS& obs, const u8* block, i64 count) {
 }
 
 void fpaqDecode(IBS& ibs, u8* block, i64 count, int bsVersion) {
-    (void)bsVersion;  // v4+ split semantics (v6 streams)
+    // bsVersion < 4 streams use the older bit-split semantics
+    // (FPAQCodec.go:282-306 decodeBitV1): 8-bit predictions (pred >> 4),
+    // a >>4 interval scale, and a LOOPED 32-bit refill.
+    bool isV3 = bsVersion > 0 && bsVersion < 4;
     if (count > (i64)1 << 30) throw Error("FPAQ: block too large");
     u64 low = 0, high = FPAQ_TOP, current = 0;
     std::vector<u8> buffer;
@@ -114,6 +117,20 @@ void fpaqDecode(IBS& ibs, u8* block, i64 count, int bsVersion) {
         if ((low ^ high) < ((u64)1 << 24)) readWord();
     };
 
+    auto decodeBitV1 = [&](int* p) {
+        u64 split = ((((high - low) >> 4) * (u64)(u32)(p[ctx] >> 4)) >> 8) + low;
+        if (split >= current) {
+            high = split;
+            p[ctx] -= ((p[ctx] - FPAQ_PSCALE + 64) >> 6);
+            ctx += ctx + 1;
+        } else {
+            low = split + 1;
+            p[ctx] -= (p[ctx] >> 6);
+            ctx += ctx;
+        }
+        while (((low ^ high) >> 24) == 0) readWord();
+    };
+
     i64 startChunk = 0;
     while (startChunk < count) {
         i64 szBytes = (i64)readVarInt(ibs);
@@ -129,11 +146,20 @@ void fpaqDecode(IBS& ibs, u8* block, i64 count, int bsVersion) {
         i64 chunkSize = std::min(FPAQ_CHUNK, count - startChunk);
         u8* buf = block + startChunk;
         int* p = probs[0];
-        for (i64 i = 0; i < chunkSize; i++) {
-            ctx = 1;
-            for (int b = 0; b < 8; b++) decodeBit(p);
-            buf[i] = (u8)ctx;
-            p = probs[(ctx & 0xFF) >> 6];
+        if (isV3) {
+            for (i64 i = 0; i < chunkSize; i++) {
+                ctx = 1;
+                for (int b = 0; b < 8; b++) decodeBitV1(p);
+                buf[i] = (u8)ctx;
+                p = probs[(ctx & 0xFF) >> 6];
+            }
+        } else {
+            for (i64 i = 0; i < chunkSize; i++) {
+                ctx = 1;
+                for (int b = 0; b < 8; b++) decodeBit(p);
+                buf[i] = (u8)ctx;
+                p = probs[(ctx & 0xFF) >> 6];
+            }
         }
         startChunk += chunkSize;
     }

@@ -629,7 +629,8 @@ int lzpForward(const u8* src, i32 count, u8* dst, i64 dstCap, i32* outLen) {
     return 0;
 }
 
-int lzpInverse(const u8* src, i32 count, u8* dst, i64 dstCap, i32* outLen) {
+int lzpInverse(const u8* src, i32 count, u8* dst, i64 dstCap, i32* outLen,
+               int bsVersion) {
     if (count < 4) throw Error("LZP inverse: block too small");
     std::vector<i32> hashes((size_t)1 << LZP_HASH_LOG, 0);
 
@@ -643,7 +644,9 @@ int lzpInverse(const u8* src, i32 count, u8* dst, i64 dstCap, i32* outLen) {
     int srcIdx = 4;
     i64 dstIdx = 4;
     bool res = true;
-    const int minMatch = LZP_MIN_MATCH64;
+    // bsVersion < 4 streams used a 96-byte minimum match
+    // (LZCodec.go:975,1118-1122)
+    const int minMatch = (bsVersion > 0 && bsVersion < 4) ? 96 : LZP_MIN_MATCH64;
 
     while (srcIdx < srcEnd) {
         u32 h = (LZP_HASH_SEED * ctx32) >> LZP_HASH_SHIFT;

@@ -15,7 +15,8 @@ namespace kz {
 void computeHistogram(const u8* block, i64 len, i32* freqs);
 int detectSimpleType(i64 count, const i32* freqs0);
 void ansEncodeChunked(OBS& obs, const u8* block, i64 len, int order, int chunkSize);
-void ansDecodeChunked(IBS& ibs, u8* block, i64 len, int order, int chunkSize);
+void ansDecodeChunked(IBS& ibs, u8* block, i64 len, int order, int chunkSize,
+                      int bsVersion = 6);
 
 enum { DT_UNDEFINED = 0, DT_EXE = 3, DT_DNA = 6, DT_MULTIMEDIA = 2 };
 
@@ -332,7 +333,7 @@ struct RolzC1 {
     }
 
     int inverse(const u8* src, i32 count, u8* dst, i64 cap, Ctx& ctx, i32* outLen) {
-        (void)ctx;
+        int bsVersion = ctx.bsVersion > 0 ? ctx.bsVersion : 6;
         if (count < 5) throw Error("ROLZ inverse: input too small");
         i64 dstEnd = (i64)(((u32)src[0] << 24) | ((u32)src[1] << 16) |
                            ((u32)src[2] << 8) | src[3]) - 4;
@@ -353,14 +354,23 @@ struct RolzC1 {
         int delta = 2;
         minMatch = ROLZ_MIN_MATCH3;
 
-        if ((flags & 0x0E) == 2) {
-            minMatch = ROLZ_MIN_MATCH4;
-            delta = 8;
-        } else if ((flags & 0x0E) == 4) {
-            minMatch = ROLZ_MIN_MATCH7;
-            delta = 8;
-        } else if ((flags & 0x0E) == 8) {
-            delta = 3;
+        // flag semantics by stream version (ROLZCodec.go:638-655)
+        if (bsVersion >= 4) {
+            if ((flags & 0x0E) == 2) {
+                minMatch = ROLZ_MIN_MATCH4;
+                delta = 8;
+            } else if ((flags & 0x0E) == 4) {
+                minMatch = ROLZ_MIN_MATCH7;
+                delta = 8;
+            } else if ((flags & 0x0E) == 8) {
+                delta = 3;
+            }
+        } else if (bsVersion >= 3) {
+            if ((flags & 6) == 2) {
+                minMatch = ROLZ_MIN_MATCH4;
+            } else if ((flags & 6) == 4) {
+                minMatch = ROLZ_MIN_MATCH7;
+            }
         }
 
         logPosChecks = flags >> 4;
@@ -403,10 +413,13 @@ struct RolzC1 {
                     throw Error("ROLZ inverse: invalid data");
                 litLenDecoded = litLen;
 
-                ansDecodeChunked(ibs, litBuf.data(), litLen, litOrder, 0);
-                ansDecodeChunked(ibs, tkBuf.data(), tkLen, 0, 32768);
-                ansDecodeChunked(ibs, mLenBuf.data(), mLenLen, 0, 32768);
-                ansDecodeChunked(ibs, mIdxBuf.data(), mIdxLen, 0, 32768);
+                ansDecodeChunked(ibs, litBuf.data(), litLen, litOrder, 0,
+                                 bsVersion);
+                ansDecodeChunked(ibs, tkBuf.data(), tkLen, 0, 32768, bsVersion);
+                ansDecodeChunked(ibs, mLenBuf.data(), mLenLen, 0, 32768,
+                                 bsVersion);
+                ansDecodeChunked(ibs, mIdxBuf.data(), mIdxLen, 0, 32768,
+                                 bsVersion);
                 onlyLiterals = tkLen == 0;
                 srcIdx += (i64)((ibs.read() + 7) >> 3);
             }
@@ -420,7 +433,7 @@ struct RolzC1 {
             }
 
             dstIdx = 0;
-            i64 mm = 8;
+            i64 mm = bsVersion < 3 ? 2 : 8;
             if (startChunk >= dstEnd) mm = dstEnd - startChunk;
             for (i64 j = 0; j < mm; j++) buf[dstIdx++] = litBuf[litIdx++];
 
@@ -782,7 +795,7 @@ struct RolzC2 {
     }
 
     int inverse(const u8* src, i32 count, u8* dst, i64 cap, Ctx& ctx, i32* outLen) {
-        (void)ctx;
+        int bsVersion = ctx.bsVersion > 0 ? ctx.bsVersion : 6;
         if (count < 5) throw Error("ROLZX inverse: invalid data");
         i64 dstEnd = (i64)(((u32)src[0] << 24) | ((u32)src[1] << 16) |
                            ((u32)src[2] << 8) | src[3]);
@@ -792,20 +805,27 @@ struct RolzC2 {
         i64 srcIdx = 4;
         u8 flags = src[4];
         int delta = 2;
-        if ((flags & 0x0E) == 8) {
-            delta = 3;
-        } else if ((flags & 0x0E) == 4) {
-            delta = 8;
-            minMatch = ROLZ_MIN_MATCH7;
-        } else if (flags == 1) {
-            // DNA-detected input: the reference encoder emits flags=1 with
-            // minMatch=7 (v2/transform/ROLZCodec.go:1120-1123) but its v4+
-            // decoder never checks flags==1, so those streams are
-            // undecodable by the reference itself. We honor the flag so our
-            // pair round-trips.
-            minMatch = ROLZ_MIN_MATCH7;
+        // flag semantics by stream version (ROLZCodec.go:1233-1248); pre-v3
+        // streams carry no flags byte at all (srcIdx stays at 4)
+        if (bsVersion >= 4) {
+            if ((flags & 0x0E) == 8) {
+                delta = 3;
+            } else if ((flags & 0x0E) == 4) {
+                delta = 8;
+                minMatch = ROLZ_MIN_MATCH7;
+            } else if (flags == 1) {
+                // DNA-detected input: the reference encoder emits flags=1
+                // with minMatch=7 (v2/transform/ROLZCodec.go:1120-1123) but
+                // its v4+ decoder never checks flags==1, so those streams
+                // are undecodable by the reference itself. We honor the
+                // flag so our pair round-trips.
+                minMatch = ROLZ_MIN_MATCH7;
+            }
+            srcIdx++;
+        } else if (bsVersion >= 3) {
+            if (flags == 1) minMatch = ROLZ_MIN_MATCH7;
+            srcIdx++;
         }
-        srcIdx++;
 
         i64 dstIdx = 0;
         i64 startChunk = 0;
@@ -825,7 +845,7 @@ struct RolzC2 {
             rd.reset();
             dstIdx = 0;
 
-            i64 mm = 8;
+            i64 mm = bsVersion < 3 ? 2 : 8;
             rd.setContext(ROLZ_LITERAL_CTX, 0);
             if (startChunk >= dstEnd) mm = dstEnd - startChunk;
             for (i64 j = 0; j < mm; j++) {

@@ -17,7 +17,7 @@ int lzxForward(const u8*, i32, u8*, i64, Ctx&, i32*, bool extra);
 int lzxInverse(const u8*, i32, u8*, i64, i32*);
 int lzxInverseV4(const u8*, i32, u8*, i64, i32*);
 int lzpForward(const u8*, i32, u8*, i64, i32*);
-int lzpInverse(const u8*, i32, u8*, i64, i32*);
+int lzpInverse(const u8*, i32, u8*, i64, i32*, int bsVersion);
 int zrltForward(const u8*, i32, u8*, i64, i32*);
 int zrltInverse(const u8*, i32, u8*, i64, i32*);
 int rltForward(const u8*, i32, u8*, i64, Ctx&, i32*);
@@ -113,7 +113,7 @@ int transformInverse(int ttype, const u8* src, i32 n, u8* dst, i64 cap,
                 return lzxInverseV4(src, n, dst, cap, outLen);
             return lzxInverse(src, n, dst, cap, outLen);
         case TT_LZP:
-            return lzpInverse(src, n, dst, cap, outLen);
+            return lzpInverse(src, n, dst, cap, outLen, ctx.bsVersion);
         case TT_PACK:
         case TT_DNA:
             return aliasInverse(src, n, dst, cap, ctx, outLen);

@@ -59,6 +59,35 @@ static int packUTF(const u8* in, u32* out) {
     return s;
 }
 
+// bsVersion < 4 alias packing (UTFCodec.go:548-575): length stored as
+// (size-1) in bits 21+, no sz==3 gap
+static int unpackUTF0(u32 in, u8* out) {
+    int s = (int)(in >> 21) + 1;
+    switch (s) {
+        case 1:
+            out[0] = (u8)in;
+            break;
+        case 2:
+            out[0] = (u8)(in >> 8);
+            out[1] = (u8)in;
+            break;
+        case 3:
+            out[0] = (u8)(((in >> 12) & 0x0F) | 0xE0);
+            out[1] = (u8)(((in >> 6) & 0x3F) | 0x80);
+            out[2] = (u8)((in & 0x3F) | 0x80);
+            break;
+        case 4:
+            out[0] = (u8)(((in >> 18) & 0x07) | 0xF0);
+            out[1] = (u8)(((in >> 12) & 0x3F) | 0x80);
+            out[2] = (u8)(((in >> 6) & 0x3F) | 0x80);
+            out[3] = (u8)((in & 0x3F) | 0x80);
+            break;
+        default:
+            s = 0;
+    }
+    return s;
+}
+
 static int unpackUTF1(u32 in, u8* out) {
     u32 sz = in >> 19;
     if (sz == 0) {
@@ -220,13 +249,13 @@ int utfForward(const u8* src, i32 count, u8* dst, i64 cap, Ctx& ctx, i32* outLen
 }
 
 int utfInverse(const u8* src, i32 count, u8* dst, i64 cap, Ctx& ctx, i32* outLen) {
-    (void)ctx;
     if (count < 4) throw Error("UTF inverse: block too small");
     int start = src[0] & 0x03;
     int adjust = src[1] & 0x03;
     int n = ((int)src[2] << 8) + src[3];
     if (n == 0 || n >= 32768 || 4 + 3 * n > count)
         throw Error("UTF inverse: invalid map size");
+    bool isV3 = ctx.bsVersion > 0 && ctx.bsVersion < 4;  // UTFCodec.go:296
 
     struct Sym {
         u8 value[4];
@@ -236,7 +265,7 @@ int utfInverse(const u8* src, i32 count, u8* dst, i64 cap, Ctx& ctx, i32* outLen
     i64 srcIdx = 4;
     for (int i = 0; i < n; i++) {
         u32 s = ((u32)src[srcIdx] << 16) | ((u32)src[srcIdx + 1] << 8) | src[srcIdx + 2];
-        int sl = unpackUTF1(s, m[i].value);
+        int sl = isV3 ? unpackUTF0(s, m[i].value) : unpackUTF1(s, m[i].value);
         if (sl == 0) throw Error("UTF inverse: invalid alias");
         m[i].length = (u8)sl;
         srcIdx += 3;

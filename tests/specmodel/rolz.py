@@ -93,7 +93,8 @@ def _pick_mode(src: bytes, dt: int | None) -> int:
 
 
 def rolz1_forward(src: bytes, dst_len: int | None = None,
-                  log_pos_checks: int = 4, dt: int | None = None) -> bytes:
+                  log_pos_checks: int = 4, dt: int | None = None,
+                  bs_version: int = 6) -> bytes:
     count = len(src)
     if count < 64:
         raise SpecSkip("block too small")
@@ -109,17 +110,27 @@ def rolz1_forward(src: bytes, dst_len: int | None = None,
     delta = 2
 
     dt = _pick_mode(src, dt)
-    if dt == DT_EXE:
-        delta = 3
-        flags |= 8
-    elif dt == DT_DNA:
-        delta = 8
-        min_match = MIN_MATCH7
-        flags |= 4
-    elif dt == DT_MULTIMEDIA:
-        delta = 8
-        min_match = MIN_MATCH4
-        flags |= 2
+    if bs_version >= 4:
+        if dt == DT_EXE:
+            delta = 3
+            flags |= 8
+        elif dt == DT_DNA:
+            delta = 8
+            min_match = MIN_MATCH7
+            flags |= 4
+        elif dt == DT_MULTIMEDIA:
+            delta = 8
+            min_match = MIN_MATCH4
+            flags |= 2
+    elif bs_version >= 3:
+        # v3 flag semantics (ROLZCodec.go:648-655): delta stays 2
+        if dt == DT_DNA:
+            min_match = MIN_MATCH7
+            flags |= 4
+        elif dt == DT_MULTIMEDIA:
+            min_match = MIN_MATCH4
+            flags |= 2
+    # pre-v3: MM3/delta 2 only; the flags byte is still present for codec1
 
     flags |= log_pos_checks << 4
     out.append(flags)
@@ -167,7 +178,7 @@ def rolz1_forward(src: bytes, dst_len: int | None = None,
         len_buf = bytearray()
         midx_buf = bytearray()
         tk_buf = bytearray()
-        n = min(src_end - start_chunk, 8)
+        n = min(src_end - start_chunk, 2 if bs_version < 3 else 8)
         lit_buf += src[base:base + n]
         src_idx = n
         first_lit = src_idx
@@ -232,7 +243,8 @@ def rolz1_forward(src: bytes, dst_len: int | None = None,
         obs.write_bits(len(tk_buf), 32)
         obs.write_bits(len(len_buf), 32)
         obs.write_bits(len(midx_buf), 32)
-        lit_enc = SpecANSEncoder(order=lit_order)
+        lit_enc = SpecANSEncoder(order=lit_order,
+                                 chunk_size=32768 if bs_version < 4 else 16384)
         lit_enc.obs = obs
         lit_enc.write(bytes(lit_buf))
         m_enc = SpecANSEncoder(order=0, chunk_size=32768)
@@ -312,7 +324,8 @@ class _RangeEncoder:
 
 
 def rolz2_forward(src: bytes, dst_len: int | None = None,
-                  log_pos_checks: int = 5, dt: int | None = None) -> bytes:
+                  log_pos_checks: int = 5, dt: int | None = None,
+                  bs_version: int = 6) -> bytes:
     count = len(src)
     if count < 64:
         raise SpecSkip("block too small")
@@ -327,15 +340,24 @@ def rolz2_forward(src: bytes, dst_len: int | None = None,
     flags = 0
 
     dt = _pick_mode(src, dt)
-    if dt == DT_EXE:
-        delta = 3
-        flags |= 8
-    elif dt == DT_DNA:
-        # the reference sets flags=1 (not |=4) and leaves delta at 2; its own
-        # decoder never honors flags==1, so this combination is refused on
-        # inverse — transcribed verbatim (ROLZCodec.go:1120-1123)
-        min_match = MIN_MATCH7
-        flags = 1
+    if bs_version >= 4:
+        if dt == DT_EXE:
+            delta = 3
+            flags |= 8
+        elif dt == DT_DNA:
+            # the reference sets flags=1 (not |=4) and leaves delta at 2; its
+            # own decoder never honors flags==1, so this combination is
+            # refused on inverse — transcribed verbatim
+            # (ROLZCodec.go:1120-1123)
+            min_match = MIN_MATCH7
+            flags = 1
+    elif bs_version >= 3:
+        # v3 semantics (ROLZCodec.go:1242-1248): flags==1 selects MM7 and
+        # the decoder honors it; delta stays 2
+        if dt == DT_DNA:
+            min_match = MIN_MATCH7
+            flags = 1
+    # pre-v3: no flags byte at all, MM3/delta 2
 
     key_fn = _get_key1 if min_match == MIN_MATCH3 else _get_key2
     enc = _RangeEncoder(9, log_pos_checks)
@@ -389,7 +411,8 @@ def rolz2_forward(src: bytes, dst_len: int | None = None,
         enc.reset()
         base = start_chunk
         src_idx = 0
-        mm = 8 if start_chunk < src_end else src_end - start_chunk
+        mm = (2 if bs_version < 3 else 8) \
+            if start_chunk < src_end else src_end - start_chunk
         enc.set_context(LITERAL_CTX, 0)
         for _ in range(mm):
             enc.encode9((LITERAL_FLAG << 8) | src[base + src_idx])
@@ -416,7 +439,8 @@ def rolz2_forward(src: bytes, dst_len: int | None = None,
         src_idx += 1
     enc.dispose()
 
-    out = count.to_bytes(4, "big") + bytes([flags]) + bytes(enc.out)
+    out = count.to_bytes(4, "big") \
+        + (b"" if bs_version < 3 else bytes([flags])) + bytes(enc.out)
     if len(out) >= count:
         raise SpecSkip("no compression")
     if len(out) > dst_len:

@@ -120,12 +120,19 @@ def test_v5_text2_old_word_index():
         assert len(bytes(out5)) > 2   # a real word came out
 
 
-def test_pre_v5_still_refused():
+def test_version_nibble_contract():
     blob = bytearray(compress_v5_huffman(b"x" * 100, block_size=65536))
-    # patch the version nibble from 5 to 4 (top nibble of byte 4) and fix
-    # nothing else: header CRC differs per version, so parsing fails either
-    # way — but the error must be the version error, checked before CRC
-    blob[4] = (blob[4] & 0x0F) | (4 << 4)
+    # since round 3, v1-v4 streams DECODE (test_legacy_v14.py); patching a
+    # v5 stream's version nibble to 4 now reaches the v4 header parser,
+    # which rejects the layout mismatch as a corrupted header — not a
+    # version refusal
+    bad = bytearray(blob)
+    bad[4] = (bad[4] & 0x0F) | (4 << 4)
+    with pytest.raises(kanzi_tpu.KanziError):
+        kanzi_tpu.decompress(bytes(bad))
+    # a future version (>6) is still refused with the typed version error
+    bad = bytearray(blob)
+    bad[4] = (bad[4] & 0x0F) | (7 << 4)
     with pytest.raises(kanzi_tpu.KanziError) as e:
-        kanzi_tpu.decompress(bytes(blob))
+        kanzi_tpu.decompress(bytes(bad))
     assert e.value.code == ERR_STREAM_VERSION
