@@ -99,6 +99,45 @@ def _fuzz_body():
             except Exception:
                 pass
 
+    # 3c. legacy v1-v4 decode paths (round 3): random payloads + corrupted
+    # valid streams through every version-gated branch
+    for bsv in (1, 2, 3, 4):
+        ctxl = {"bsVersion": bsv, "blockSize": 65536}
+        for et in (2, 5, 6, 8):       # FPAQ v1 split, ANS v1 layout, CM v3
+            for _ in range(10):
+                n = rng.choice([1, 7, 64, 1000, 5000])
+                payload = bytes(rng.randrange(256) for _ in range(n))
+                for out_len in (0, 17, 1000, 65536):
+                    try:
+                        native.entropy_decode(et, payload, out_len,
+                                              dict(ctxl))
+                    except RuntimeError:
+                        pass
+        for tt in (9, 11, 12, 14, 17):  # EXE v2, ROLZ/ROLZX v3, LZP mm96, UTF v0
+            for _ in range(10):
+                n = rng.choice([2, 14, 64, 2048])
+                try:
+                    native.transform_inverse(
+                        tt, np.frombuffer(
+                            bytes(rng.randrange(256) for _ in range(n)),
+                            np.uint8), dict(ctxl), 1 << 18)
+                except Exception:
+                    pass
+    # corrupted valid v1 ANS streams (the byte-pair pull loops)
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from specmodel import legacy_v14 as _l14
+    ctx1 = {"bsVersion": 1, "blockSize": 65536}
+    for order, et in ((0, 5), (1, 8)):
+        valid = bytearray(_l14.ans_encode_v1(bytes(base[:6000]), order)[0])
+        for i in range(min(len(valid), 24)):
+            for v in (0x00, 0xFF, rng.randrange(256)):
+                mut = bytes(valid[:i]) + bytes([v]) + bytes(valid[i + 1:])
+                try:
+                    native.entropy_decode(et, mut, 6000, dict(ctx1))
+                except RuntimeError:
+                    pass
+
     # 4. transform inverses on hostile bytes (incl. crafted section lengths)
     for tt in TRANSFORM_TYPES:
         for _ in range(25):
@@ -157,7 +196,7 @@ def test_decoder_fuzz_under_asan():
         "PYTHONPATH": REPO,
     })
     r = subprocess.run([sys.executable, __file__, "--run-fuzz"],
-                       capture_output=True, text=True, env=env, timeout=900)
+                       capture_output=True, text=True, env=env, timeout=1800)
     assert r.returncode == 0 and "FUZZ-OK" in r.stdout, \
         f"rc={r.returncode}\nstdout={r.stdout[-2000:]}\nstderr={r.stderr[-4000:]}"
 
