@@ -164,11 +164,22 @@ void saisCore(const ST* st, i32* SA, i32 n, i32 K, int depth) {
     }
     induce();
 
-    // Collect sorted LMS positions
+    // Collect sorted LMS positions (prefetched: the isLMS test is a random
+    // 2-element st gather per entry, same latency profile as the induces —
+    // measured +3-10% on the whole sort)
     i32 mm = 0;
-    for (i32 i = 0; i < n; i++) {
-        i32 j = SA[i];
-        if (j > 0 && (st[j] & 1) && !(st[j - 1] & 1)) SA[mm++] = j;
+    {
+        i32 lim = n - SAIS_PREFETCH > 0 ? n - SAIS_PREFETCH : 0;
+        for (i32 i = 0; i < lim; i++) {
+            i32 jp = SA[i + SAIS_PREFETCH];
+            __builtin_prefetch(&st[jp > 0 ? jp : 0]);
+            i32 j = SA[i];
+            if (j > 0 && (st[j] & 1) && !(st[j - 1] & 1)) SA[mm++] = j;
+        }
+        for (i32 i = lim; i < n; i++) {
+            i32 j = SA[i];
+            if (j > 0 && (st[j] & 1) && !(st[j - 1] & 1)) SA[mm++] = j;
+        }
     }
 
     // Name LMS substrings in SA[m..] (ceil(n/2) slots suffice); two LMS
