@@ -180,6 +180,56 @@ int sbrtInverse(const u8* src, i32 count, u8* dst, i64 cap, int mode, i32* outLe
         return 0;
     }
 
+#ifdef __AVX512F__
+    if (mode == 2) {
+        // RANK inverse fast path (the hot loop of level-5 decode): the rank
+        // comes straight from the input byte, so the remaining cost is the
+        // backward walk — qr is descending-sorted by construction, so it
+        // vectorizes to compare-mask popcounts exactly like the forward.
+        alignas(64) u8 r2sv[256];
+        alignas(64) i32 qrv[256] = {0};
+        i32 pv[256] = {0};
+        for (int i = 0; i < 256; i++) r2sv[i] = (u8)i;
+        for (i32 i = 0; i < count; i++) {
+            u32 r = src[i];
+            u8 c = r2sv[r];
+            dst[i] = c;
+            i32 qc = (i + pv[c]) >> 1;
+            pv[c] = i;
+            u32 rt;
+            if (r <= 4) {
+                rt = r;
+                while (rt > 0 && qrv[rt - 1] <= qc) rt--;
+            } else {
+                __m512i vqc = _mm512_set1_epi32(qc);
+                u32 cnt = 0;
+                u32 full = r & ~15u;
+                for (u32 k = 0; k < full; k += 16) {
+                    __m512i v = _mm512_load_si512((const void*)&qrv[k]);
+                    cnt += (u32)_mm_popcnt_u32(
+                        _mm512_cmpgt_epi32_mask(v, vqc));
+                }
+                if (r & 15) {
+                    __mmask16 lane = (__mmask16)((1u << (r & 15)) - 1);
+                    __m512i v = _mm512_maskz_load_epi32(
+                        lane, (const void*)&qrv[full]);
+                    cnt += (u32)_mm_popcnt_u32(
+                        _mm512_mask_cmpgt_epi32_mask(lane, v, vqc));
+                }
+                rt = cnt;
+            }
+            if (rt < r) {
+                std::memmove(&r2sv[rt + 1], &r2sv[rt], r - rt);
+                std::memmove(&qrv[rt + 1], &qrv[rt], (r - rt) * sizeof(i32));
+            }
+            r2sv[rt] = c;
+            qrv[rt] = qc;
+        }
+        *outLen = count;
+        return 0;
+    }
+#endif
+
     for (i32 i = 0; i < count; i++) {
         u32 r = src[i];
         u8 c = r2s[r];
