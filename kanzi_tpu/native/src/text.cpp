@@ -152,15 +152,40 @@ u8 computeTextStats(const u8* block, i64 count, i32* freqs0,
                     i32 (*freqs1)[256], bool strict) {
     if (!strict && getMagicType(block, count) != 0) return TC_MASK_NOT_TEXT;
 
+    // First pass: order-0 histogram only (4 sub-tables to break the
+    // store-forward dependency).  The 256 KiB bigram table is built lazily
+    // below — every decision that can be made from freqs0 alone (the
+    // not-text gates and detectSimpleType's classification) short-circuits
+    // before paying for it, which skips the bigram pass entirely on
+    // binary/DNA/multimedia blocks.  Decision order is unchanged, so the
+    // results are identical to the reference's single-pass layout.
     std::memset(freqs0, 0, 256 * sizeof(i32));
-    std::memset(freqs1, 0, 256 * 256 * sizeof(i32));
-    u8 prv = 0;
-    for (i64 i = 0; i < count; i++) {
-        u8 cur = block[i];
-        freqs0[cur]++;
-        freqs1[prv][cur]++;
-        prv = cur;
+    {
+        i32 f[4][256];
+        std::memset(f, 0, sizeof(f));
+        i64 end4 = count & ~(i64)3;
+        for (i64 i = 0; i < end4; i += 4) {
+            f[0][block[i]]++;
+            f[1][block[i + 1]]++;
+            f[2][block[i + 2]]++;
+            f[3][block[i + 3]]++;
+        }
+        for (i64 i = end4; i < count; i++) f[0][block[i]]++;
+        for (int j = 0; j < 256; j++)
+            freqs0[j] = f[0][j] + f[1][j] + f[2][j] + f[3][j];
     }
+    bool haveFreqs1 = false;
+    auto buildFreqs1 = [&]() {
+        if (haveFreqs1) return;
+        haveFreqs1 = true;
+        std::memset(freqs1, 0, 256 * 256 * sizeof(i32));
+        u8 prv = 0;
+        for (i64 i = 0; i < count; i++) {
+            u8 cur = block[i];
+            freqs1[prv][cur]++;
+            prv = cur;
+        }
+    };
 
     i64 nbTextChars = freqs0[TC_CR] + freqs0[TC_LF];
     i64 nbASCII = 0;
@@ -182,8 +207,16 @@ u8 computeTextStats(const u8* block, i64 count, i32* freqs0,
     }
 
     u8 res = 0;
-    if (notText) return res | detectTextType(freqs0, freqs1, count);
+    if (notText) {
+        // detectTextType's first gate needs only freqs0; the bigram table
+        // is required only for its UTF-8 lead/continuation analysis
+        int dt = detectSimpleType(count, freqs0);
+        if (dt != DT_UNDEFINED) return res | TC_MASK_NOT_TEXT | (u8)dt;
+        buildFreqs1();
+        return res | detectTextType(freqs0, freqs1, count);
+    }
 
+    buildFreqs1();  // the XML and CRLF probes below read bigram rows
     if (nbBinChars <= count - count / 10) {
         i64 f1 = freqs0['<'], f2 = freqs0['>'];
         i64 f3 = freqs1['&']['a'] + freqs1['&']['g'] + freqs1['&']['l'] + freqs1['&']['q'];
