@@ -277,7 +277,10 @@ static int srtPreprocess(const i32* freqs, u8* symbols) {
 
 int srtForward(const u8* src, i32 count, u8* dst, i64 cap, i32* outLen) {
     if (cap < (i64)count + 4 * 256) return 1;
-    u8 r2s[256];
+    // zero-initialized: the vector rank search loads the full 256-byte
+    // array; stale bytes beyond nbSymbols can never win (the true match
+    // always has the lowest index) but must be deterministic
+    alignas(64) u8 r2s[256] = {0};
     i32 freqs[256] = {0};
 
     for (i32 i = 0, b = 0; i < count;) {
@@ -316,10 +319,53 @@ int srtForward(const u8* src, i32 count, u8* dst, i64 cap, i32* outLen) {
     // the rank update is an unconditional move-to-front: find the symbol's
     // rank with a vectorized scan and shift with one memmove — no
     // symbol->rank map to maintain (the naive walk is O(rank) dependent
-    // loads/stores and dominates on post-BWT data)
+    // loads/stores and dominates on post-BWT data).  Post-BWT symbols sit
+    // near the front of the MTF list most of the time, so a 4-entry scalar
+    // head beats memchr's setup cost; the tail uses direct 64-byte vector
+    // compares (no call overhead) where available.
     for (i32 i = 0; i < count;) {
         u8 c = src[i];
-        u32 r = (u32)((const u8*)std::memchr(r2s, c, (size_t)nbSymbols) - r2s);
+        u32 r;
+        if (r2s[0] == c) {
+            r = 0;
+        } else if (r2s[1] == c) {
+            r = 1;
+        } else if (r2s[2] == c) {
+            r = 2;
+        } else if (r2s[3] == c) {
+            r = 3;
+        } else {
+#ifdef __AVX512BW__
+            __m512i vc = _mm512_set1_epi8((char)c);
+            u64 m = _mm512_cmpeq_epi8_mask(
+                _mm512_loadu_si512((const void*)&r2s[0]), vc);
+            if (m) {
+                r = (u32)__builtin_ctzll(m);
+            } else if (nbSymbols > 64) {
+                m = _mm512_cmpeq_epi8_mask(
+                    _mm512_loadu_si512((const void*)&r2s[64]), vc);
+                if (m) {
+                    r = 64 + (u32)__builtin_ctzll(m);
+                } else if (nbSymbols > 128) {
+                    m = _mm512_cmpeq_epi8_mask(
+                        _mm512_loadu_si512((const void*)&r2s[128]), vc);
+                    if (m) {
+                        r = 128 + (u32)__builtin_ctzll(m);
+                    } else {
+                        r = 192 + (u32)__builtin_ctzll(
+                            _mm512_cmpeq_epi8_mask(_mm512_loadu_si512(
+                                (const void*)&r2s[192]), vc));
+                    }
+                } else {
+                    r = 0;  // unreachable on valid input: c is in r2s
+                }
+            } else {
+                r = 0;      // unreachable on valid input
+            }
+#else
+            r = (u32)((const u8*)std::memchr(r2s, c, (size_t)nbSymbols) - r2s);
+#endif
+        }
         i32 pp = buckets[c];
         out[pp++] = (u8)r;
         if (r > 0) {
