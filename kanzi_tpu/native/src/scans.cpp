@@ -37,11 +37,23 @@ int sbrtForward(const u8* src, i32 count, u8* dst, i64 cap, int mode, i32* outLe
 
     if (mode == 1) {
         // MTF: the walk always reaches rank 0 (every key is a smaller
-        // position index), so it is a pure move-to-front: vectorized find
-        // + one memmove, no rank map
+        // position index), so it is a pure move-to-front: a short scalar
+        // head for the common near-front hits (memchr's setup cost exceeds
+        // a 4-entry scan), vectorized find beyond, one memmove, no rank map
         for (i32 i = 0; i < count; i++) {
             u8 c = src[i];
-            u32 r = (u32)((const u8*)std::memchr(r2s, c, 256) - r2s);
+            u32 r;
+            if (r2s[0] == c) {
+                r = 0;
+            } else if (r2s[1] == c) {
+                r = 1;
+            } else if (r2s[2] == c) {
+                r = 2;
+            } else if (r2s[3] == c) {
+                r = 3;
+            } else {
+                r = (u32)((const u8*)std::memchr(r2s, c, 256) - r2s);
+            }
             dst[i] = (u8)r;
             if (r > 0) {
                 std::memmove(r2s + 1, r2s, r);
