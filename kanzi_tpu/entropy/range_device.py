@@ -82,12 +82,15 @@ class DeviceRangeEngine:
         lows = np.zeros((C, 2), np.uint32)
         if holder is not None and nr:
             w, nw, lw = holder.get()
-            w = np.ascontiguousarray(w[lo:lo + nr].astype(np.uint32))
+            w = np.asarray(w[lo:lo + nr], dtype=np.uint32)
             nw = np.asarray(nw[lo:lo + nr], dtype=np.int32)
             lw = np.ascontiguousarray(lw[lo:lo + nr].astype(np.uint32))
-            words = np.zeros((C, w.shape[1]), np.uint32)
+            # the assembler reads only w[c][:nwords[c]], so header-only rows
+            # can stay uninitialized — np.empty avoids zeroing ~C*256 KiB of
+            # fresh pages per block (first-touch costs ~6 ms/MB here)
+            words = np.empty((C, w.shape[1]), np.uint32)
             for r, c in enumerate(rows):
-                words[c] = w[r]
+                words[c, :nw[r]] = w[r, :nw[r]]
                 nwords[c] = nw[r]
                 lows[c] = lw[r]
         return native.range_assemble(post, hdr, hdr_bits, flags,
