@@ -204,7 +204,6 @@ def decode_chunks(bufs: jax.Array, tables: jax.Array, f2s: jax.Array,
     freq_t = tables[:, 1].astype(jnp.uint32)
     f2s32 = f2s.astype(jnp.int32)
     shifts32 = shifts.astype(jnp.uint32)
-    rows = jnp.arange(B)
 
     def read28(k):
         """28 bits at bit offset 60 + 28k of each row's stream."""
@@ -289,5 +288,4 @@ def decode_chunks(bufs: jax.Array, tables: jax.Array, f2s: jax.Array,
             jnp.full(B, TOP_RANGE_LO), jnp.full(B, TOP_RANGE_HI),
             code_lo0, code_hi0, jnp.zeros(B, jnp.int32))
     (_, _, _, _, _, _, nread), syms = jax.lax.scan(step, init, valid)
-    del rows
     return jnp.swapaxes(syms, 0, 1), nread

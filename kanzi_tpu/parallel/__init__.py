@@ -242,7 +242,7 @@ def compress_multichip(data, mesh: Mesh, transform: str = "LZ",
     The output is byte-identical to the single-host stream (tested)."""
     w = mesh_writer(mesh, transform=transform, entropy=entropy,
                     block_size=block_size, checksum=checksum,
-                    file_size=len(data))
+                    file_size=len(data), **writer_kwargs)
     w.write(data)
     w.close()
     return w.getvalue()
