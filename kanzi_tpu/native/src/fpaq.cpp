@@ -97,10 +97,16 @@ void fpaqDecode(IBS& ibs, u8* block, i64 count, int bsVersion) {
     auto readWord = [&]() {
         low = (low << 32) & MASK_0_56;
         high = ((high << 32) | MASK_0_32) & MASK_0_56;
-        u32 val = ((u32)buffer[index] << 24) | ((u32)buffer[index + 1] << 16) |
+        // structural bound: a corrupted chunk whose declared byte count is
+        // far below what its window dynamics consume must read zeros, not
+        // run off the buffer (valid streams never reach the guard)
+        u32 val = 0;
+        if (index + 4 <= (i64)buffer.size()) {
+            val = ((u32)buffer[index] << 24) | ((u32)buffer[index + 1] << 16) |
                   ((u32)buffer[index + 2] << 8) | buffer[index + 3];
+            index += 4;
+        }
         current = ((current << 32) | val) & MASK_0_56;
-        index += 4;
     };
 
     auto decodeBit = [&](int* p) {
