@@ -160,10 +160,15 @@ static void binDecode(IBS& ibs, u8* block, i64 count, P& pred) {
     auto readWord = [&]() {
         low = (low << 32) & BMASK_0_56;
         high = ((high << 32) | BMASK_0_32) & BMASK_0_56;
-        u32 val = ((u32)buffer[index] << 24) | ((u32)buffer[index + 1] << 16) |
+        // structural refill bound (see fpaq.cpp): corrupted chunks read
+        // zeros at the guard instead of depending on window dynamics
+        u32 val = 0;
+        if (index + 4 <= (i64)buffer.size()) {
+            val = ((u32)buffer[index] << 24) | ((u32)buffer[index + 1] << 16) |
                   ((u32)buffer[index + 2] << 8) | buffer[index + 3];
+            index += 4;
+        }
         current = ((current << 32) | val) & BMASK_0_56;
-        index += 4;
     };
 
     auto decodeBit = [&](int pr) -> int {
