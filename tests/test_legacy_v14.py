@@ -244,3 +244,38 @@ def test_v5_streams_still_decode():
     data = _corpus(40000)
     blob = l5.compress_v5_huffman(data, 32768)
     assert kanzi_tpu.decompress(blob) == data
+
+
+def test_legacy_stream_from_to_ranges():
+    """--from/--to block ranges must work on legacy streams (the frame
+    format is version-independent, but the ctx wiring goes through the
+    legacy header parse)."""
+    import io
+    from kanzi_tpu.kio import Reader
+    data = _corpus()
+    blob = l14.compress_legacy(data, 3, 5, _ans_chunked_32k, 32768)
+    # block numbering is 1-based (reference --from/--to): blocks [2, 4)
+    r = Reader(io.BytesIO(blob), ctx={"from": 2, "to": 4})
+    out = bytearray()
+    while True:
+        c = r.read(1 << 20)
+        if not c:
+            break
+        out += c
+    assert bytes(out) == data[32768:3 * 32768]
+
+
+def test_legacy_stream_info_mode(tmp_path):
+    """-y on a v3 stream must report the legacy header fields."""
+    import subprocess
+    import sys as _s
+    data = _corpus(40000)
+    blob = l14.compress_legacy(data, 3, 5, _ans_chunked_32k, 65536)
+    p = tmp_path / "legacy.knz"
+    p.write_bytes(blob)
+    res = subprocess.run([_s.executable, "-m", "kanzi_tpu.app",
+                          "-y", "-i", str(p)],
+                         capture_output=True, text=True)
+    assert res.returncode == 0, res.stderr
+    assert "3" in res.stdout  # bitstream version
+    assert "ANS0" in res.stdout
