@@ -111,7 +111,8 @@ def _parse_args(argv: list[str]) -> _Args | int:
         "-e": "entropy", "--entropy": "entropy",
         "-j": "jobs", "--jobs": "jobs",
         "-v": "verbose", "--verbose": "verbose",
-        "--from": "from", "--to": "to", "--cpuProf": "cpuProf",
+        "--from": "from", "--to": "to",
+        "-p": "cpuProf", "--cpuProf": "cpuProf",  # both reference spellings
     }
     i = 0
     pending = None
