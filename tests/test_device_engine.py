@@ -157,3 +157,20 @@ def test_mesh_readers_are_reentrant():
             break
     assert bytes(o1) == d1
     assert bytes(o2) == d2
+
+
+def test_jobs_parallel_with_device_engines():
+    """jobs>1 and the device entropy engines must compose: the threaded
+    block scheduler with device dispatch produces the exact host stream
+    for every device-capable codec."""
+    from kanzi_tpu.kio import Writer
+    data = (_mixed_corpus(220000))
+    for entropy in ("RANGE", "ANS0", "HUFFMAN"):
+        host = kanzi_tpu.compress(data, transform="LZ", entropy=entropy,
+                                  block_size=32768, checksum=32, jobs=1)
+        w = Writer(None, transform="LZ", entropy=entropy, block_size=32768,
+                   checksum=32, ctx={"useDevice": True}, jobs=4,
+                   file_size=len(data))
+        w.write(data)
+        w.close()
+        assert w.getvalue() == host, entropy
