@@ -67,7 +67,7 @@ def compress_step(mesh: Mesh):
          table_idx (4B,) i32, tables (C,256) i32)
         -> (histos (B,256), entropy1024 (B,), words, nbits, total_bits ())
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def step(blocks, lane_syms, lane_len, table_idx, tables):
         histos = ops_histogram.histograms_u8(blocks)
@@ -83,7 +83,7 @@ def compress_step(mesh: Mesh):
         step, mesh=mesh,
         in_specs=(P("blocks", None), P("blocks", None), spec_b, spec_b, P()),
         out_specs=(P("blocks", None), spec_b, P("blocks", None), spec_b, P()),
-        check_rep=False,
+        check_vma=False,
     ))
 
 
