@@ -14,21 +14,23 @@ import json
 import os
 import sys
 
-import numpy as np
-
 import kanzi_tpu
 
 GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden_hashes.json")
+CORPUS_PATH = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "golden_corpus.bin")
+# The corpus bytes are committed (generated once from a text+dna+binary+
+# zeros+noise mix) so that editing any living document cannot silently
+# invalidate the golden hashes. sha256 pinned here as a second lock.
+CORPUS_SHA256 = "0046072ba797ce68cf9e21be51ba9cb8f9addb473074cb3c44ce02ff6c0341a1"
 
 
 def _corpus() -> bytes:
-    rng = np.random.default_rng(0xC0FFEE)
-    text = open("/root/repo/SURVEY.md", "rb").read()[:120000]
-    dna = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 30000)].tobytes()
-    binary = np.cumsum(rng.integers(-2, 3, 20000, dtype=np.int32)).astype("<i2").tobytes()
-    noise = rng.integers(0, 256, 15000, dtype=np.uint8).tobytes()
-    zeros = b"\x00" * 20000
-    return text + dna + binary + zeros + noise
+    data = open(CORPUS_PATH, "rb").read()
+    assert hashlib.sha256(data).hexdigest() == CORPUS_SHA256, (
+        "golden corpus file changed — the format fixtures are meaningless "
+        "against a different corpus; restore tests/fixtures/golden_corpus.bin")
+    return data
 
 
 def _configs():
