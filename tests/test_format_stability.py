@@ -47,14 +47,43 @@ def _configs():
                                block_size=65536)
     cfgs["exe_fsd_chain"] = dict(transform="EXE+MM+PACK", entropy="FPAQ",
                                  block_size=65536)
+    # listener attached -> Python compress_block_payload path; pins the slow
+    # path's bytes in the golden file alongside the native path's (the
+    # dual-path invariant, tests/test_dual_path.py)
+    cfgs["level5_listener_path"] = dict(level=5, block_size=65536,
+                                        checksum=32, listener=True)
     return cfgs
+
+
+def _compress_listener(data: bytes, level: int, block_size: int,
+                       checksum: int) -> bytes:
+    import io
+
+    from kanzi_tpu.kio.compressed_stream import Writer
+
+    class _Noop:
+        def process_event(self, evt):
+            pass
+
+    transform, entropy = kanzi_tpu.LEVEL_PRESETS[level]
+    out = io.BytesIO()
+    w = Writer(out, transform=transform, entropy=entropy,
+               block_size=block_size, checksum=checksum, file_size=len(data))
+    w.add_listener(_Noop())
+    w.write(data)
+    w.close()
+    return out.getvalue()
 
 
 def _compute():
     data = _corpus()
     out = {}
     for name, cfg in _configs().items():
-        blob = kanzi_tpu.compress(data, **cfg)
+        cfg = dict(cfg)
+        if cfg.pop("listener", False):
+            blob = _compress_listener(data, **cfg)
+        else:
+            blob = kanzi_tpu.compress(data, **cfg)
         assert kanzi_tpu.decompress(blob) == data, f"{name} roundtrip failed"
         out[name] = {"sha256": hashlib.sha256(blob).hexdigest(),
                      "size": len(blob)}
