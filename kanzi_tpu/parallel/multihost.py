@@ -1,0 +1,228 @@
+"""Multi-host (multi-controller) block striping — the distributed half of
+the reference's P3 axis.
+
+The reference scales compression with an in-process worker pool over
+independent work units (v2/app/BlockCompressor.go:543-618); SURVEY §2.8
+maps P3 across *hosts* as "files partitioned across hosts/processes" and
+§7.1 step 9 as per-host file striping. The KANZ block statelessness
+contract (v2/Definitions.go:50-52) makes that exact: every host can encode
+a contiguous stripe of blocks knowing only (stripe bytes, config), and the
+stream is reassembled by bit-splicing stripes in rank order behind a
+header written once by rank 0 — byte-identical to a single-host Writer.
+
+Three layers, so any launcher (mpirun, SLURM, k8s indexed jobs, or plain
+subprocesses) can drive it:
+
+- library: `stripe_range` / `encode_stripe` / `pack_stripe` /
+  `unpack_stripe` / `assemble`. A rank ships its packed stripe (opaque
+  bytes) to the assembler over any transport.
+- CLI: `python -m kanzi_tpu.parallel.multihost --rank R --world W ...`
+  (rank/world may also come from KANZI_RANK / KANZI_WORLD env vars, the
+  convention torchrun/jax.distributed-style launchers provide) writes
+  `<out>.stripe<R>`; `--assemble` splices `<out>.stripe*` into the final
+  stream.
+- dryrun: `dryrun_multihost(n)` in __graft_entry__ runs real OS processes
+  through the CLI and asserts byte-identity with the single-process
+  Writer.
+
+This is the host-C++ path (no JAX): the device mesh parallelism (P1 over
+chips) composes with it per host.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+
+from .. import native
+from ..kio import Writer
+
+_STRIPE_MAGIC = b"KZST"  # stripe container: magic, version, frame count
+
+
+def stripe_range(total_size: int, block_size: int, rank: int,
+                 world: int) -> tuple[int, int]:
+    """Byte range [start, end) of `rank`'s contiguous block stripe.
+
+    Blocks are distributed as evenly as possible: the first
+    (nblocks % world) ranks take one extra block, so a non-divisible block
+    count never leaves a rank idle while another holds two spare blocks.
+    """
+    if not 0 <= rank < world:
+        raise ValueError(f"rank {rank} outside world {world}")
+    nblocks = (total_size + block_size - 1) // block_size
+    base, extra = divmod(nblocks, world)
+    first = rank * base + min(rank, extra)
+    count = base + (1 if rank < extra else 0)
+    start = min(first * block_size, total_size)
+    end = min((first + count) * block_size, total_size)
+    return (start, max(start, end))
+
+
+def encode_stripe(stripe: bytes | np.ndarray, transform: str, entropy: str,
+                  block_size: int, checksum: int = 0,
+                  ctx: dict | None = None) -> list[tuple[bytes, int]]:
+    """Encode one rank's stripe into frames [(payload_bytes, bits), ...].
+
+    `stripe` must start on a block boundary of the overall input (use
+    `stripe_range`). Uses the same C++ one-shot block path as the Writer,
+    so the frames are bit-identical to the ones a single-host run would
+    produce for these blocks.
+    """
+    if not native.available():
+        raise RuntimeError("multi-host striping requires the native runtime")
+    # a throwaway Writer resolves chain/entropy ids and normalized ctx
+    # exactly like the single-host path (including bsVersion)
+    w = Writer(None, transform=transform, entropy=entropy,
+               block_size=block_size, checksum=checksum,
+               ctx=dict(ctx) if ctx else None)
+    data = np.frombuffer(stripe, dtype=np.uint8) \
+        if not isinstance(stripe, np.ndarray) else stripe
+    frames: list[tuple[bytes, int]] = []
+    scratch = None
+    for off in range(0, len(data), block_size):
+        block = np.ascontiguousarray(data[off:off + block_size])
+        cap = 2 * len(block) + 65536
+        if scratch is None or len(scratch) < cap:
+            scratch = np.empty(cap, dtype=np.uint8)
+        bits, _post, _flags, _cks = native.block_encode(
+            block, w.transform_type, w.entropy_type, w.ctx,
+            w.checksum_bits, bool(w.ctx.get("skipBlocks", False)), scratch)
+        frames.append((scratch[: (bits + 7) >> 3].tobytes(), bits))
+    return frames
+
+
+def pack_stripe(frames: list[tuple[bytes, int]]) -> bytes:
+    """Serialize a rank's frames into an opaque transportable blob."""
+    out = bytearray(_STRIPE_MAGIC)
+    out += struct.pack("<I", len(frames))
+    for payload, bits in frames:
+        out += struct.pack("<QI", bits, len(payload))
+        out += payload
+    return bytes(out)
+
+
+def unpack_stripe(blob: bytes) -> list[tuple[bytes, int]]:
+    if blob[:4] != _STRIPE_MAGIC:
+        raise ValueError("not a KZST stripe")
+    (nframes,) = struct.unpack_from("<I", blob, 4)
+    frames = []
+    pos = 8
+    for _ in range(nframes):
+        bits, plen = struct.unpack_from("<QI", blob, pos)
+        pos += 12
+        frames.append((blob[pos:pos + plen], bits))
+        pos += plen
+    if pos != len(blob):
+        raise ValueError("trailing bytes in stripe")
+    return frames
+
+
+def assemble(stripes: list[bytes], transform: str, entropy: str,
+             block_size: int, total_size: int, checksum: int = 0,
+             ctx: dict | None = None) -> bytes:
+    """Splice packed stripes (in rank order) into the final stream.
+
+    Rank 0's role: the header is written once here (with the full input
+    size, so the header is identical to a single-host run), then every
+    frame is bit-spliced in block order and the zero-length end marker
+    closes the stream — the cross-host form of the reference's ordered
+    append (P2, v2/io/CompressedStream.go:934-949).
+    """
+    w = Writer(None, transform=transform, entropy=entropy,
+               block_size=block_size, checksum=checksum,
+               file_size=total_size, ctx=dict(ctx) if ctx else None)
+    w._write_header()
+    nblocks = 0
+    for blob in stripes:
+        for payload, bits in unpack_stripe(blob):
+            w._append_frame(np.frombuffer(payload, dtype=np.uint8), bits)
+            nblocks += 1
+    w._block_id = nblocks
+    w.close()
+    return w.getvalue()
+
+
+def compress_multihost(data: bytes, transform: str = "NONE",
+                       entropy: str = "NONE",
+                       block_size: int = 4 * 1024 * 1024, world: int = 2,
+                       checksum: int = 0, ctx: dict | None = None) -> bytes:
+    """In-process reference implementation of the full rank protocol
+    (every rank executed locally, in sequence). The tests and the
+    subprocess dryrun both check against this AND against the
+    single-process Writer."""
+    stripes = []
+    for rank in range(world):
+        s, e = stripe_range(len(data), block_size, rank, world)
+        stripes.append(pack_stripe(encode_stripe(
+            data[s:e], transform, entropy, block_size, checksum, ctx)))
+    return assemble(stripes, transform, entropy, block_size, len(data),
+                    checksum, ctx)
+
+
+def _env_int(name: str, default: int | None = None) -> int | None:
+    v = os.environ.get(name)
+    return int(v) if v is not None else default
+
+
+def main(argv: list[str] | None = None) -> int:
+    """Launcher entry point.
+
+    Worker mode (one invocation per rank, any process launcher):
+        python -m kanzi_tpu.parallel.multihost -i IN -o OUT \
+            --rank R --world W [--transform T --entropy E --block-size B
+                                --checksum C]
+      (rank/world default to $KANZI_RANK / $KANZI_WORLD) → writes
+      OUT.stripe{R:05d}
+
+    Assemble mode (after all ranks finish, e.g. on rank 0 / shared fs):
+        python -m kanzi_tpu.parallel.multihost --assemble -i IN -o OUT ...
+      → splices OUT.stripe* (rank order) into OUT.
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="kanzi_tpu.parallel.multihost")
+    ap.add_argument("-i", "--input", required=True)
+    ap.add_argument("-o", "--output", required=True)
+    ap.add_argument("--rank", type=int, default=_env_int("KANZI_RANK"))
+    ap.add_argument("--world", type=int, default=_env_int("KANZI_WORLD"))
+    ap.add_argument("--assemble", action="store_true")
+    ap.add_argument("--transform", default="NONE")
+    ap.add_argument("--entropy", default="NONE")
+    ap.add_argument("--block-size", type=int, default=4 * 1024 * 1024)
+    ap.add_argument("--checksum", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    total_size = os.path.getsize(args.input)
+    if args.assemble:
+        if args.world is None:
+            raise SystemExit("--assemble requires --world (stripe count)")
+        stripes = []
+        for rank in range(args.world):
+            path = f"{args.output}.stripe{rank:05d}"
+            with open(path, "rb") as fh:
+                stripes.append(fh.read())
+        data = assemble(stripes, args.transform, args.entropy,
+                        args.block_size, total_size, args.checksum)
+        with open(args.output, "wb") as fh:
+            fh.write(data)
+        return 0
+
+    if args.rank is None or args.world is None:
+        raise SystemExit("worker mode requires --rank/--world "
+                         "(or KANZI_RANK/KANZI_WORLD)")
+    s, e = stripe_range(total_size, args.block_size, args.rank, args.world)
+    with open(args.input, "rb") as fh:
+        fh.seek(s)
+        stripe = fh.read(e - s)
+    frames = encode_stripe(stripe, args.transform, args.entropy,
+                           args.block_size, args.checksum)
+    with open(f"{args.output}.stripe{args.rank:05d}", "wb") as fh:
+        fh.write(pack_stripe(frames))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
