@@ -210,33 +210,43 @@ def bench_level(data: bytes, level: int, repeat: int = 1):
     return best_enc, best_dec, len(blob)
 
 
-def bench_level_median(data: bytes, level: int, runs: int = 5):
-    """Median-of-N with min/max spread for the claim-bearing levels.
+def bench_levels_median(data: bytes, levels, runs: int = 5):
+    """Interleaved median-of-N with min/max spread for the claim-bearing
+    levels.
 
     The L5-L7 margins vs the reference per-core bar are a few percent on a
     host with documented ~±30% ambient noise; a best-of-2 number cannot
-    support the claim (VERDICT r3, weak #2). One extra warmup run faults
-    the pooled suffix-sort/model tables so the measured runs are steady
-    state. Returns (enc_med, dec_med, (enc_min, enc_max), (dec_min, dec_max),
-    compressed_size).
+    support the claim (VERDICT r3, weak #2). Two structural choices:
+    - one warmup run per level faults the pooled suffix-sort/model tables
+      so the measured runs are steady state;
+    - the N runs are interleaved ACROSS levels (round-robin), so each
+      level's samples span the whole measurement window (~minutes) instead
+      of one contiguous slice — ambient slow phases on this shared vCPU
+      last tens of seconds and would otherwise swallow a whole level.
+    Returns {level: (enc_med, dec_med, (enc_min, enc_max),
+                     (dec_min, dec_max), compressed_size)}.
     """
     import kanzi_tpu
 
-    kanzi_tpu.decompress(kanzi_tpu.compress(data, level=level))  # warmup
-    encs, decs = [], []
-    blob = b""
+    encs = {lv: [] for lv in levels}
+    decs = {lv: [] for lv in levels}
+    sizes = {}
+    for lv in levels:  # warmup
+        kanzi_tpu.decompress(kanzi_tpu.compress(data, level=lv))
     for _ in range(runs):
-        t = time.perf_counter()
-        blob = kanzi_tpu.compress(data, level=level)
-        encs.append(len(data) / (time.perf_counter() - t))
-        t = time.perf_counter()
-        out = kanzi_tpu.decompress(blob)
-        decs.append(len(data) / (time.perf_counter() - t))
-        assert out == data, f"roundtrip failed at level {level}"
-    enc_med = float(np.median(encs))
-    dec_med = float(np.median(decs))
-    return (enc_med, dec_med, (min(encs), max(encs)), (min(decs), max(decs)),
-            len(blob))
+        for lv in levels:
+            t = time.perf_counter()
+            blob = kanzi_tpu.compress(data, level=lv)
+            encs[lv].append(len(data) / (time.perf_counter() - t))
+            t = time.perf_counter()
+            out = kanzi_tpu.decompress(blob)
+            decs[lv].append(len(data) / (time.perf_counter() - t))
+            assert out == data, f"roundtrip failed at level {lv}"
+            sizes[lv] = len(blob)
+    return {lv: (float(np.median(encs[lv])), float(np.median(decs[lv])),
+                 (min(encs[lv]), max(encs[lv])),
+                 (min(decs[lv]), max(decs[lv])), sizes[lv])
+            for lv in levels}
 
 
 def bench_device_kernel():
@@ -443,11 +453,12 @@ def main():
             "enc_gbps": round(enc / 1e9, 4), "dec_gbps": round(dec / 1e9, 4),
             "ratio": round(sz / len(d), 4)}
     # Claim-bearing levels (margins vs the reference per-core bar are a few
-    # percent): median-of-5 with min/max spread after one warmup run, so the
-    # official record can support the claim (VERDICT r3, weak #2). Extra
-    # keys go AFTER ratio so tail-parsing regexes keep matching the prefix.
+    # percent): interleaved median-of-5 with min/max spread after warmup,
+    # so the official record can support the claim (VERDICT r3, weak #2).
+    # Extra keys go AFTER ratio so tail-parsing regexes keep matching.
+    med = bench_levels_median(slice16, (5, 6, 7), runs=5)
     for lv in (5, 6, 7):
-        e_med, d_med, e_sp, d_sp, sz = bench_level_median(slice16, lv, runs=5)
+        e_med, d_med, e_sp, d_sp, sz = med[lv]
         detail["levels"][str(lv)] = {
             "enc_gbps": round(e_med / 1e9, 4),
             "dec_gbps": round(d_med / 1e9, 4),
