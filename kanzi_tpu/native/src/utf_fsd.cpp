@@ -228,6 +228,17 @@ int utfForward(const u8* src, i32 count, u8* dst, i64 cap, Ctx& ctx, i32* outLen
         }
     }
     if (estimate >= maxTarget) return 1;
+    // `estimate` deliberately mirrors the reference's formula
+    // (UTFCodec.go:204-224), which excludes the 3n symbol-map bytes — so
+    // the real emission can exceed `cap` even when the estimate check
+    // passes (the reference then panics its whole block when dst is
+    // exactly MaxEncodedLen; found by the randomized differential fuzz).
+    // The exact final size is computable up front: estimate already
+    // counts the per-occurrence payload bytes, so add the map bytes and
+    // a small tail bound and bail to skip — any emission that could
+    // touch cap is far above maxTarget and would be skipped by the final
+    // check anyway, so this changes no skip decision.
+    if (estimate + 3 * (i64)n + 16 > cap) return 1;
 
     for (int i = 0; i < start; i++) dst[dstIdx++] = src[i];
     i32 srcIdx = start;
