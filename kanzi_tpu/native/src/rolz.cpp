@@ -489,7 +489,10 @@ struct RolzC1 {
                     }
                 }
 
-                if (dstIdx + matchLen + minMatch > dstEnd)
+                // bound vs the CHUNK (dstIdx is chunk-relative): the
+                // reference's dstEnd check under-constrains multi-chunk
+                // streams and relies on Go bounds panics past it
+                if (dstIdx + matchLen + minMatch > sizeChunk)
                     throw Error("ROLZ inverse: invalid data");
                 i32 matchIdx = mIdxBuf[mIdx++] & 0xFF;
                 u32 key = (minMatch == ROLZ_MIN_MATCH3) ? getKey1(buf + dstIdx - delta)
@@ -666,10 +669,13 @@ struct RolzC2 {
         *outIdx = -1;
         *outLen = -1;
         u32* m = matches.data() + ((size_t)key << logPosChecks);
-        u32 hash32 = rolzhash(buf + pos);
         i32 counter = counters[key];
 
         if (maxMatch >= minMatch) {
+            // hash computed inside the bound check (the reference's order,
+            // ROLZCodec.go:1019-1027) — at the tail, buf+pos+4 would read
+            // past the block
+            u32 hash32 = rolzhash(buf + pos);
             maxMatch -= 4;
             int bestLen = 0;
             int bestIdx = -1;
@@ -736,8 +742,20 @@ struct RolzC2 {
             delta = 3;
             flags |= 8;
         } else if (dt == DT_DNA) {
+            // DELIBERATE divergence from the reference encoder
+            // (ROLZCodec.go:1120-1123 emits flags=1 with minMatch=7 and
+            // delta=2): with delta=2 the decoder's key — getKey2 reads 8
+            // bytes from pos-2 — depends on SIX not-yet-decoded bytes, so
+            // those streams are undecodable by ANY decoder, including the
+            // reference's own (whose v4+ codec2 Inverse also never honors
+            // flags==1). Found by the randomized differential fuzz. We emit
+            // the combination the format's decoders DO define and decode
+            // correctly (reference Inverse :1234-1239, flags&0x0E==4):
+            // delta=8 keeps every key byte behind the decode frontier,
+            // exactly like codec1's DNA mode (ROLZCodec.go:337-341).
             minMatch = ROLZ_MIN_MATCH7;
-            flags = 1;
+            delta = 8;
+            flags = 4;
         }
 
         dst[4] = flags;
@@ -814,12 +832,15 @@ struct RolzC2 {
                 delta = 8;
                 minMatch = ROLZ_MIN_MATCH7;
             } else if (flags == 1) {
-                // DNA-detected input: the reference encoder emits flags=1
-                // with minMatch=7 (v2/transform/ROLZCodec.go:1120-1123) but
-                // its v4+ decoder never checks flags==1, so those streams
-                // are undecodable by the reference itself. We honor the
-                // flag so our pair round-trips.
-                minMatch = ROLZ_MIN_MATCH7;
+                // flags==1 is the reference encoder's DNA output
+                // (ROLZCodec.go:1120-1123): minMatch=7 with delta=2, whose
+                // decode keys depend on not-yet-decoded bytes — such
+                // streams are undecodable by construction (the reference's
+                // own v4+ decoder doesn't even parse flags==1 and garbles).
+                // Reject cleanly instead of desyncing mid-block. Our
+                // encoder emits the decodable flags=4 mode instead.
+                throw Error("ROLZX inverse: stream uses the reference "
+                            "encoder's undecodable DNA mode (flags=1)");
             }
             srcIdx++;
         } else if (bsVersion >= 3) {
@@ -868,9 +889,15 @@ struct RolzC2 {
                 } else {
                     int matchLen = val & 0xFF;
                     if (matchLen + 3 > dstEnd) throw Error("ROLZX inverse: invalid data");
+                    // corrupt streams can otherwise emitCopy past the chunk
+                    // (the reference relies on Go bounds panics here)
+                    if (dstIdx + matchLen + minMatch > sizeChunk)
+                        throw Error("ROLZX inverse: invalid data");
                     rd.setContext(ROLZ_MATCH_CTX, buf[dstIdx - 1]);
                     i32 matchIdx = rd.decodeBits(logPosChecks);
                     i64 ref = m[(counters[key] - matchIdx) & maskChecks];
+                    if (ref < 0 || ref >= dstIdx)
+                        throw Error("ROLZX inverse: invalid data");
                     dstIdx = emitCopy(buf, dstIdx, ref, matchLen + minMatch);
                 }
                 counters[key] = (counters[key] + 1) & maskChecks;

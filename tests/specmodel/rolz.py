@@ -345,12 +345,17 @@ def rolz2_forward(src: bytes, dst_len: int | None = None,
             delta = 3
             flags |= 8
         elif dt == DT_DNA:
-            # the reference sets flags=1 (not |=4) and leaves delta at 2; its
-            # own decoder never honors flags==1, so this combination is
-            # refused on inverse — transcribed verbatim
-            # (ROLZCodec.go:1120-1123)
+            # DELIBERATE divergence from the reference encoder (which sets
+            # flags=1 with delta=2, ROLZCodec.go:1120-1123): those streams
+            # are undecodable by construction — getKey2 reads 8 bytes from
+            # pos-2, i.e. six bytes past the decode frontier — and the
+            # reference's own v4+ decoder never parses flags==1 anyway. The
+            # engine (and this spec) emit the combination the format's
+            # decoders define and decode: delta=8, minMatch=7, flags=4
+            # (reference Inverse :1234-1239), mirroring codec1's DNA mode.
             min_match = MIN_MATCH7
-            flags = 1
+            delta = 8
+            flags = 4
     elif bs_version >= 3:
         # v3 semantics (ROLZCodec.go:1242-1248): flags==1 selects MM7 and
         # the decoder honors it; delta stays 2

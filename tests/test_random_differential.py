@@ -108,10 +108,29 @@ def _gen_utf8(rng, n):
     return bytes(out[:n])
 
 
+def _gen_exe(rng, n):
+    out = bytearray()
+    while len(out) < n:
+        k = int(rng.integers(0, 5))
+        if k == 0:  # call rel32
+            out += b"\xe8" + int(rng.integers(-(1 << 16), 1 << 16)
+                                 ).to_bytes(4, "little", signed=True)
+        elif k == 1:  # jcc rel8
+            out += bytes([0x74 + int(rng.integers(0, 2)),
+                          int(rng.integers(2, 100))])
+        elif k == 2:  # mov reg,[rbp-d8]
+            out += bytes([0x48, 0x8B, 0x45, int(rng.integers(128, 256))])
+        elif k == 3:
+            out += bytes([0x55, 0x48, 0x89, 0xE5])
+        else:
+            out += bytes([int(rng.integers(0, 256))])
+    return bytes(out[:n])
+
+
 GENERATORS = {
     "text": _gen_text, "dna": _gen_dna, "random": _gen_random,
     "skewed": _gen_skewed, "runs": _gen_runs, "zeros": _gen_sparse_zeros,
-    "bindelta": _gen_binary_delta, "utf8": _gen_utf8,
+    "bindelta": _gen_binary_delta, "utf8": _gen_utf8, "exe": _gen_exe,
 }
 
 # sizes crossing the entropy codecs' chunk boundaries (Huffman/ANS chunks
@@ -276,6 +295,8 @@ def test_committed_regressions():
     for e in entries:
         if e["type"] == "entropy":
             _check_entropy(e["codec"], e["kind"], e["size"], e["seed"])
+        elif e["type"] == "rolz_exe":
+            _check_rolz_exe(e["codec"], e["kind"], e["size"], e["seed"])
         else:
             _check_transform(e["codec"], e["kind"], e["size"], e["seed"])
 
@@ -338,3 +359,68 @@ def test_transform_random_differential_sweep(name):
         for size in (255, 4096, 16385, 65537):
             _check_transform(name, kind, size,
                              _case_seed("sweep", name, kind, size))
+
+
+def _check_rolz_exe(name: str, kind: str, size: int, seed: int):
+    """ROLZ/ROLZX/EXE sweep through the raw native transform entry (the
+    convention of test_format_vectors): spec forward vs engine forward,
+    same skip decisions, engine inverse roundtrip."""
+    import sys
+
+    from kanzi_tpu import native
+    sys.path.insert(0, HERE)
+    from specmodel.exe import SpecSkip as ExeSkip
+    from specmodel.exe import exe_forward
+    from specmodel.rolz import SpecSkip as RolzSkip
+    from specmodel.rolz import rolz1_forward, rolz2_forward
+
+    rng = np.random.default_rng(seed)
+    data = GENERATORS[kind](rng, size)
+    if name == "EXE":
+        tt, cap = 9, 4 * max(len(data), 16)
+        spec_fn, skip_exc = (lambda d: exe_forward(d, dst_len=cap)), ExeSkip
+    else:
+        tt = 11 if name == "ROLZ" else 12
+        cap = max(len(data) + len(data) // 4 + 64, 1024)
+        fn = rolz1_forward if name == "ROLZ" else rolz2_forward
+        spec_fn, skip_exc = (lambda d: fn(d, dst_len=cap)), RolzSkip
+    try:
+        spec = spec_fn(data)
+    except skip_exc:
+        spec = None
+    try:
+        out, _ = native.transform_forward(
+            tt, np.frombuffer(data, np.uint8), {}, cap)
+        got = bytes(out)
+    except native.NativeSkip:
+        got = None
+    try:
+        assert (spec is None) == (got is None), (
+            f"{name} skip decision diverged: kind={kind} size={size} "
+            f"seed={seed} (base {BASE_SEED})")
+        if got is not None:
+            assert got == spec, (
+                f"{name} forward diverged from spec: kind={kind} "
+                f"size={size} seed={seed} (base {BASE_SEED})")
+            back = native.transform_inverse(
+                tt, np.frombuffer(got, np.uint8), {}, len(data))
+            assert bytes(back) == data, (
+                f"{name} inverse(forward) != input: kind={kind} "
+                f"size={size} seed={seed} (base {BASE_SEED})")
+    except AssertionError:
+        _record_failure({"type": "rolz_exe", "codec": name, "kind": kind,
+                         "size": size, "seed": seed})
+        raise
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ("ROLZ", "ROLZX", "EXE"))
+def test_rolz_exe_random_differential(name):
+    kinds = ("text", "exe", "runs", "random") if name == "EXE" \
+        else ("text", "dna", "runs", "exe")
+    # the spec ROLZ coders are per-byte python loops; bound their sizes
+    sizes = (255, 4096, 16385) if name != "EXE" else (255, 4096, 65537)
+    for kind in kinds:
+        for size in sizes:
+            _check_rolz_exe(name, kind, size,
+                            _case_seed("sweep", name, kind, size))
