@@ -197,7 +197,23 @@ def ans_encode_v1(block: bytes, order: int) -> tuple[bytes, int]:
     end = len(block)
     while start < end:
         chunk = block[start:start + min(enc.chunk_size, end - start)]
-        alpha = enc._rebuild_statistics(chunk, lr)
+        if order == 1:
+            # v1 statistics are CONTINUOUS-context pair counts (prv=0 for
+            # the first byte), matching the body and the decoder's
+            # never-reset prv walk — NOT v6's quartered histograms, which
+            # drop quarter-boundary pairs: a boundary pair occurring only
+            # there would get frequency 0 and be unencodable (the
+            # randomized fuzz hung exactly there on random data).
+            for i in range(len(enc.freqs)):
+                enc.freqs[i] = 0
+            prv = 0
+            for b in chunk:
+                enc.freqs[257 * prv + b] += 1
+                enc.freqs[257 * prv + 256] += 1
+                prv = b
+            alpha = enc._update_frequencies(lr)
+        else:
+            alpha = enc._rebuild_statistics(chunk, lr)
         if order == 0 and alpha == 1:
             start += len(chunk)
             continue

@@ -297,6 +297,8 @@ def test_committed_regressions():
             _check_entropy(e["codec"], e["kind"], e["size"], e["seed"])
         elif e["type"] == "rolz_exe":
             _check_rolz_exe(e["codec"], e["kind"], e["size"], e["seed"])
+        elif e["type"] == "legacy":
+            _check_legacy(e["codec"], e["kind"], e["size"], e["seed"])
         else:
             _check_transform(e["codec"], e["kind"], e["size"], e["seed"])
 
@@ -411,6 +413,61 @@ def _check_rolz_exe(name: str, kind: str, size: int, seed: int):
         _record_failure({"type": "rolz_exe", "codec": name, "kind": kind,
                          "size": size, "seed": seed})
         raise
+
+
+def _check_legacy(combo: str, kind: str, size: int, seed: int):
+    """Legacy v1-v4 container streams built by the spec writers from fresh
+    random data must decode through our Reader (the fixed-vector legacy
+    tests' randomized sibling)."""
+    import sys
+
+    import kanzi_tpu
+    sys.path.insert(0, HERE)
+    from specmodel import ans as sans
+    from specmodel import legacy_v14 as l14
+
+    def ans32k(b, order=0):
+        enc = sans.SpecANSEncoder(order=order, chunk_size=32768)
+        enc.write(b)
+        return enc.finish()
+
+    combos = {
+        "v4_ans0": (4, 5, lambda b: sans.ans_encode(b, 0)),
+        "v4_ans1": (4, 8, lambda b: sans.ans_encode(b, 1)),
+        "v3_ans32k": (3, 5, ans32k),
+        "v2_ans32k": (2, 5, ans32k),
+        "v1_ans0": (1, 5, lambda b: l14.ans_encode_v1(b, 0)),
+        "v1_ans1": (1, 8, lambda b: l14.ans_encode_v1(b, 1)),
+        "v3_fpaq": (3, 2, l14.fpaq_encode_v1),
+        "v3_cm": (3, 6, l14.cm_encode_v3),
+    }
+    version, etype, fn = combos[combo]
+    rng = np.random.default_rng(seed)
+    data = GENERATORS[kind](rng, size)
+    try:
+        blob = l14.compress_legacy(data, version, etype, fn, 65536)
+        out = kanzi_tpu.decompress(blob)
+        assert out == data, (
+            f"legacy {combo} decode mismatch: kind={kind} size={size} "
+            f"seed={seed} (base {BASE_SEED})")
+    except AssertionError:
+        _record_failure({"type": "legacy", "codec": combo, "kind": kind,
+                         "size": size, "seed": seed})
+        raise
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("combo", ("v4_ans0", "v4_ans1", "v3_ans32k",
+                                   "v2_ans32k", "v1_ans0", "v1_ans1",
+                                   "v3_fpaq", "v3_cm"))
+def test_legacy_random_differential(combo):
+    # bit-level python spec coders: bound the slow ones' sizes
+    sizes = (65535, 100001) if combo not in ("v3_fpaq", "v3_cm") \
+        else (32769, 50000)
+    for kind in ("text", "skewed", "runs", "random"):
+        for size in sizes:
+            _check_legacy(combo, kind, size,
+                          _case_seed("legacy", combo, kind, size))
 
 
 @pytest.mark.slow
