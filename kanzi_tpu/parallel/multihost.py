@@ -162,6 +162,64 @@ def compress_multihost(data: bytes, transform: str = "NONE",
                     checksum, ctx)
 
 
+def _frame_table(blob: bytes):
+    """Serial frame walk (no payload decode — the reference's serialized
+    frame reads, v2/io/CompressedStream.go:1798-1856): returns
+    (frames [(bit_pos, block_id)...], reader) with the reader holding the
+    parsed header config."""
+    import io as _io
+
+    from ..bitstream import BitReader
+    from ..kio import Reader
+
+    r = Reader(_io.BytesIO(blob))
+    r._read_header()
+    br = BitReader(blob)
+    br._pos = r._br._pos
+    frames = []
+    block_id = 0
+    while True:
+        lw = br.read_bits(5) + 3
+        bits = br.read_bits(lw)
+        if bits == 0:
+            break
+        block_id += 1
+        frames.append((br._pos, block_id))
+        br._pos += bits
+    return frames, r
+
+
+def decode_stripe(blob: bytes, rank: int, world: int) -> bytes:
+    """Decode rank's contiguous frame span of a KANZ stream (the decode
+    side of P3: every rank reads the whole stream's frame table — cheap,
+    no payload work — then decodes only its stripe of blocks)."""
+    if not 0 <= rank < world:
+        raise ValueError(f"rank {rank} outside world {world}")
+    frames, r = _frame_table(blob)
+    nblocks = len(frames)
+    base, extra = divmod(nblocks, world)
+    first = rank * base + min(rank, extra)
+    count = base + (1 if rank < extra else 0)
+    span = frames[first:first + count]
+    src = np.frombuffer(blob, dtype=np.uint8)
+    out = bytearray()
+    dst = np.empty(r.block_size, dtype=np.uint8)
+    for pos, _bid in span:
+        n = native.block_decode(src, pos >> 3, pos & 7, r.transform_type,
+                                r.entropy_type, dict(r.ctx), r.checksum_bits,
+                                r.block_size, dst, 0, r.block_size)
+        out += dst[:n].tobytes()
+    return bytes(out)
+
+
+def decompress_multihost(blob: bytes, world: int = 2) -> bytes:
+    """In-process reference implementation of the decode rank protocol:
+    every rank's stripe decoded locally, concatenated in rank order —
+    byte-identical to the single-process Reader (tested)."""
+    return b"".join(decode_stripe(blob, rank, world)
+                    for rank in range(world))
+
+
 def _env_int(name: str, default: int | None = None) -> int | None:
     v = os.environ.get(name)
     return int(v) if v is not None else default
@@ -180,12 +238,18 @@ def main(argv: list[str] | None = None) -> int:
     Assemble mode (after all ranks finish, e.g. on rank 0 / shared fs):
         python -m kanzi_tpu.parallel.multihost --assemble -i IN -o OUT ...
       → splices OUT.stripe* (rank order) into OUT.
+
+    Decode striping (-d): each rank walks the frame table (serial, no
+    payload work) and decodes its contiguous block span to
+    OUT.dstripe{R:05d}; `-d --assemble` concatenates the stripes in rank
+    order — byte-identical to the single-process Reader.
     """
     import argparse
 
     ap = argparse.ArgumentParser(prog="kanzi_tpu.parallel.multihost")
     ap.add_argument("-i", "--input", required=True)
     ap.add_argument("-o", "--output", required=True)
+    ap.add_argument("-d", "--decompress", action="store_true")
     ap.add_argument("--rank", type=int, default=_env_int("KANZI_RANK"))
     ap.add_argument("--world", type=int, default=_env_int("KANZI_WORLD"))
     ap.add_argument("--assemble", action="store_true")
@@ -194,6 +258,25 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--block-size", type=int, default=4 * 1024 * 1024)
     ap.add_argument("--checksum", type=int, default=0)
     args = ap.parse_args(argv)
+
+    if args.decompress:
+        if args.assemble:
+            if args.world is None:
+                raise SystemExit("--assemble requires --world (stripe count)")
+            with open(args.output, "wb") as out_fh:
+                for rank in range(args.world):
+                    with open(f"{args.output}.dstripe{rank:05d}", "rb") as fh:
+                        out_fh.write(fh.read())
+            return 0
+        if args.rank is None or args.world is None:
+            raise SystemExit("worker mode requires --rank/--world "
+                             "(or KANZI_RANK/KANZI_WORLD)")
+        with open(args.input, "rb") as fh:
+            blob = fh.read()
+        stripe = decode_stripe(blob, args.rank, args.world)
+        with open(f"{args.output}.dstripe{args.rank:05d}", "wb") as fh:
+            fh.write(stripe)
+        return 0
 
     total_size = os.path.getsize(args.input)
     if args.assemble:

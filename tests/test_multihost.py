@@ -78,6 +78,39 @@ def test_stripe_pack_roundtrip():
         multihost.unpack_stripe(b"XXXX\x00\x00\x00\x00")
 
 
+@pytest.mark.parametrize("world", [2, 4, 8])
+def test_multihost_decode_byte_identity(world):
+    block_size = 65536
+    data = _corpus(block_size * 10 + 12345)  # 11 blocks, non-divisible
+    blob = kanzi_tpu.compress(data, transform="TEXT+UTF+BWT+RANK+ZRLT",
+                              entropy="ANS0", block_size=block_size,
+                              checksum=32)
+    striped = multihost.decompress_multihost(blob, world=world)
+    assert striped == data
+    # per-rank stripes are contiguous and cover exactly once
+    parts = [multihost.decode_stripe(blob, r, world) for r in range(world)]
+    assert b"".join(parts) == data
+
+
+def test_multihost_decode_launcher_cli(tmp_path):
+    block_size = 65536
+    data = _corpus(block_size * 4 + 999)
+    blob = kanzi_tpu.compress(data, transform="LZ", entropy="HUFFMAN",
+                              block_size=block_size, checksum=32)
+    knz, out = tmp_path / "in.knz", tmp_path / "out.bin"
+    knz.write_bytes(blob)
+    args = [sys.executable, "-m", "kanzi_tpu.parallel.multihost", "-d",
+            "-i", str(knz), "-o", str(out)]
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    procs = [subprocess.Popen(args, env=dict(env, KANZI_RANK=str(r),
+                                             KANZI_WORLD="3"), cwd=REPO)
+             for r in range(3)]
+    assert [p.wait() for p in procs] == [0, 0, 0]
+    assert subprocess.run(args + ["--assemble", "--world", "3"], env=env,
+                          cwd=REPO).returncode == 0
+    assert out.read_bytes() == data
+
+
 def test_multihost_launcher_cli(tmp_path):
     """Worker-mode subprocesses per rank + assemble: the real launcher
     protocol end-to-end (env-var rank discovery included)."""
