@@ -137,6 +137,35 @@ int normalizeFrequencies(i32* freqs, int freqsLen, int* alphabet, int totalFreq,
     }
 
     freqs[idxMax] = std::max(freqs[idxMax] - delta, 1);
+
+    // DELIBERATE divergence from the reference (EntropyUtils.go:232-258):
+    // when every scaled frequency is <= 2 and the residual exceeds
+    // idxMax's headroom (small near-uniform chunk at a shrunken logRange —
+    // only the Range codec's fit-to-chunk scale can get here), the
+    // reference exits with sum(freqs) > scale and emits a header its OWN
+    // decoder rejects (RangeCodec.go:461) — compress succeeds, decompress
+    // fails. Found again by the round-4 container fuzz. Repair
+    // deterministically: strip the excess one step at a time from entries
+    // still > 1 (never zeroing a present symbol; scale >= 256 >=
+    // alphabetSize guarantees termination). Only previously-undecodable
+    // headers change, so no working stream's bytes move (golden fixtures
+    // unchanged).
+    int sum = 0;
+    for (int k = 0; k < alphabetSize; k++) sum += freqs[alphabet[k]];
+    int excess = sum - scale;
+    while (excess > 0) {
+        int changed = 0;
+        for (int k = 0; k < alphabetSize && excess > 0; k++) {
+            int idx = alphabet[k];
+            if (freqs[idx] > 1) {
+                freqs[idx]--;
+                excess--;
+                changed++;
+            }
+        }
+        if (changed == 0)
+            throw Error("normalization: scale smaller than alphabet");
+    }
     return alphabetSize;
 }
 

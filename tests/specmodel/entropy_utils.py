@@ -115,6 +115,25 @@ def normalize_frequencies(freqs: list[int], alphabet_cap: int,
             break
 
     freqs[idx_max] = max(freqs[idx_max] - delta, 1)
+
+    # DELIBERATE divergence from the reference (mirrors the engine,
+    # entropy_common.cpp): the reference can exit with sum > scale on
+    # small near-uniform chunks and its own decoder rejects the stream;
+    # strip the excess deterministically from entries still > 1 so the
+    # emitted header is always self-consistent. Only headers that were
+    # previously undecodable change.
+    excess = sum(freqs[i] for i in alphabet) - scale
+    while excess > 0:
+        changed = 0
+        for idx in alphabet:
+            if excess == 0:
+                break
+            if freqs[idx] > 1:
+                freqs[idx] -= 1
+                excess -= 1
+                changed += 1
+        if changed == 0:
+            raise ValueError("normalization: scale smaller than alphabet")
     return alphabet_size, alphabet
 
 

@@ -299,6 +299,8 @@ def test_committed_regressions():
             _check_rolz_exe(e["codec"], e["kind"], e["size"], e["seed"])
         elif e["type"] == "legacy":
             _check_legacy(e["codec"], e["kind"], e["size"], e["seed"])
+        elif e["type"] == "container":
+            _check_container(e["seed"])
         else:
             _check_transform(e["codec"], e["kind"], e["size"], e["seed"])
 
@@ -413,6 +415,68 @@ def _check_rolz_exe(name: str, kind: str, size: int, seed: int):
         _record_failure({"type": "rolz_exe", "codec": name, "kind": kind,
                          "size": size, "seed": seed})
         raise
+
+
+def _check_container(seed: int):
+    """Random container config x random data roundtrip: random transform
+    CHAINS (1-8 stages drawn from all 19), random entropy, block size,
+    checksum, headerless, jobs — the interaction axis the fixed matrices
+    don't cover (reference io test style,
+    v2/io/CompressedStream_test.go:29-96). Also asserts jobs=1 vs jobs=N
+    byte-identity on every drawn config."""
+    import kanzi_tpu
+
+    rng = np.random.default_rng(seed)
+    names = ["BWT", "BWTS", "LZ", "LZX", "LZP", "ROLZ", "ROLZX", "RLT",
+             "ZRLT", "MTFT", "RANK", "SRT", "TEXT", "UTF", "PACK", "DNA",
+             "MM", "EXE", "NONE"]
+    chain = "+".join(names[i] for i in
+                     rng.choice(len(names), int(rng.integers(1, 9))))
+    entropy = ["NONE", "HUFFMAN", "ANS0", "ANS1", "RANGE", "FPAQ",
+               "CM"][int(rng.integers(0, 7))]
+    block_size = int(rng.choice([1024, 16384, 65536, 262144])) + \
+        16 * int(rng.integers(0, 4))
+    checksum = int(rng.choice([0, 32, 64]))
+    headerless = bool(rng.integers(0, 2))
+    kind = list(GENERATORS)[int(rng.integers(0, len(GENERATORS)))]
+    size = int(rng.integers(1, 200000))
+    data = GENERATORS[kind](rng, size)
+    cfg = dict(transform=chain, entropy=entropy, block_size=block_size,
+               checksum=checksum, headerless=headerless)
+    try:
+        blob = kanzi_tpu.compress(data, **cfg)
+        ctx = {"entropy": entropy, "transform": chain,
+               "blockSize": block_size, "checksum": checksum,
+               "outputSize": len(data), "bsVersion": 6} if headerless \
+            else None
+        out = kanzi_tpu.decompress(blob, headerless=headerless, ctx=ctx)
+        assert out == data, (
+            f"container roundtrip failed: chain={chain} entropy={entropy} "
+            f"bs={block_size} cks={checksum} headerless={headerless} "
+            f"kind={kind} size={size} seed={seed} (base {BASE_SEED})")
+        blob4 = kanzi_tpu.compress(data, jobs=4, **cfg)
+        assert blob4 == blob, (
+            f"jobs=4 diverged: chain={chain} entropy={entropy} "
+            f"bs={block_size} seed={seed} (base {BASE_SEED})")
+    except Exception as e:  # any failure (incl. engine errors) is a find
+        _record_failure({"type": "container", "codec": chain, "kind": kind,
+                         "size": size, "seed": seed})
+        raise AssertionError(
+            f"container fuzz failure: chain={chain} entropy={entropy} "
+            f"bs={block_size} cks={checksum} headerless={headerless} "
+            f"kind={kind} size={size} seed={seed} (base {BASE_SEED}): "
+            f"{type(e).__name__}: {e}") from e
+
+
+def test_container_random_config_quick():
+    for i in range(4):
+        _check_container(_case_seed("container", i))
+
+
+@pytest.mark.slow
+def test_container_random_config_sweep():
+    for i in range(25):
+        _check_container(_case_seed("container-sweep", i))
 
 
 def _check_legacy(combo: str, kind: str, size: int, seed: int):
