@@ -495,6 +495,14 @@ def _check_legacy(combo: str, kind: str, size: int, seed: int):
         enc.write(b)
         return enc.finish()
 
+    if combo == "v5_huffman":
+        from specmodel.legacy_v5 import compress_v5_huffman
+        rng = np.random.default_rng(seed)
+        data = GENERATORS[kind](rng, size)
+        blob = compress_v5_huffman(data, block_size=65536)
+        assert kanzi_tpu.decompress(blob) == data
+        return
+
     combos = {
         "v4_ans0": (4, 5, lambda b: sans.ans_encode(b, 0)),
         "v4_ans1": (4, 8, lambda b: sans.ans_encode(b, 1)),
@@ -518,6 +526,32 @@ def _check_legacy(combo: str, kind: str, size: int, seed: int):
         _record_failure({"type": "legacy", "codec": combo, "kind": kind,
                          "size": size, "seed": seed})
         raise
+
+
+@pytest.mark.slow
+def test_v5_random_differential():
+    """v5 single-stream Huffman container streams from fresh random data
+    must decode (randomized sibling of tests/test_legacy_v5.py)."""
+    import sys
+
+    import kanzi_tpu
+    sys.path.insert(0, HERE)
+    from specmodel.legacy_v5 import compress_v5_huffman
+
+    for kind in ("text", "skewed", "runs", "random"):
+        for size in (65535, 100001):
+            seed = _case_seed("v5", kind, size)
+            rng = np.random.default_rng(seed)
+            data = GENERATORS[kind](rng, size)
+            try:
+                blob = compress_v5_huffman(data, block_size=65536)
+                assert kanzi_tpu.decompress(blob) == data, (
+                    f"v5 decode mismatch: kind={kind} size={size} "
+                    f"seed={seed} (base {BASE_SEED})")
+            except AssertionError:
+                _record_failure({"type": "legacy", "codec": "v5_huffman",
+                                 "kind": kind, "size": size, "seed": seed})
+                raise
 
 
 @pytest.mark.slow
