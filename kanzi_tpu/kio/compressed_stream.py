@@ -1030,3 +1030,32 @@ class Reader:
     def close(self) -> None:
         if self._pool is not None:
             self._pool.shutdown(wait=False)
+
+
+def frame_table(blob: bytes):
+    """Serial frame walk over a headered stream, no payload decode (the
+    reference's serialized frame reads, v2/io/CompressedStream.go:1798-1856):
+    returns ([(bit_pos, block_id), ...], reader) with the reader holding
+    the parsed header config. Shared by the multi-process and multi-host
+    decode striping (parallel/multiproc.py, parallel/multihost.py) so the
+    frame-header layout lives in one place.
+    """
+    import io as _io
+
+    from ..bitstream import BitReader
+
+    r = Reader(_io.BytesIO(blob))
+    r._read_header()
+    br = BitReader(blob)
+    br._pos = r._br._pos
+    frames = []
+    block_id = 0
+    while True:
+        lw = br.read_bits(5) + 3
+        bits = br.read_bits(lw)
+        if bits == 0:
+            break
+        block_id += 1
+        frames.append((br._pos, block_id))
+        br._pos += bits
+    return frames, r

@@ -434,7 +434,11 @@ struct RolzC1 {
 
             dstIdx = 0;
             i64 mm = bsVersion < 3 ? 2 : 8;
-            if (startChunk >= dstEnd) mm = dstEnd - startChunk;
+            // valid streams only reach here with tkLen > 0, which the
+            // encoder never produces for a chunk smaller than the
+            // preamble; crafted streams could (would write past buf)
+            if (sizeChunk < mm)
+                throw Error("ROLZ inverse: invalid data");
             for (i64 j = 0; j < mm; j++) buf[dstIdx++] = litBuf[litIdx++];
 
             while (dstIdx < sizeChunk) {
@@ -715,8 +719,19 @@ struct RolzC2 {
     int forward(const u8* src, i32 count, u8* dst, i64 cap, Ctx& ctx, i32* outLen) {
         i64 required = count <= 16384 ? count + 1024 : count + count / 32;
         if (cap < required) return 1;
-
+        // Degenerate multi-chunk tails (found by the round-4 corner scan):
+        // the encoder chunks over srcEnd=count-4 but the decoder chunks
+        // over count, so for count % CHUNK in 1..4 the chunk COUNTS
+        // differ (the stream is emitted but undecodable — the reference
+        // pair breaks identically), and for count % CHUNK in 5..11 the
+        // fixed 8-literal chunk preamble overruns the tail chunk (the
+        // reference panics; we previously read past the block then
+        // skipped). Skip the transform up front in both corners.
         i64 srcEnd = count - 4;
+        if (count > ROLZ_CHUNK_SIZE) {
+            i64 tail = count % ROLZ_CHUNK_SIZE;
+            if (tail != 0 && tail < 12) return 1;
+        }
         i64 srcIdx = 0;
         i64 dstIdx = 5;
         i64 startChunk = 0;
@@ -868,7 +883,11 @@ struct RolzC2 {
 
             i64 mm = bsVersion < 3 ? 2 : 8;
             rd.setContext(ROLZ_LITERAL_CTX, 0);
-            if (startChunk >= dstEnd) mm = dstEnd - startChunk;
+            // crafted streams can present a final chunk smaller than the
+            // fixed preamble; valid streams cannot (the forward skips
+            // degenerate tails), so reject instead of writing past buf
+            if (sizeChunk < mm)
+                throw Error("ROLZX inverse: invalid data");
             for (i64 j = 0; j < mm; j++) {
                 int val = rd.decode9Bits();
                 if ((val >> 8) == ROLZ_MATCH_FLAG)

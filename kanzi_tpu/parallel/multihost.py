@@ -67,9 +67,9 @@ def encode_stripe(stripe: bytes | np.ndarray, transform: str, entropy: str,
     """Encode one rank's stripe into frames [(payload_bytes, bits), ...].
 
     `stripe` must start on a block boundary of the overall input (use
-    `stripe_range`). Uses the same C++ one-shot block path as the Writer,
-    so the frames are bit-identical to the ones a single-host run would
-    produce for these blocks.
+    `stripe_range`). Encodes through the Writer's own one-shot block
+    method, so the frames are bit-identical to the ones a single-host run
+    would produce for these blocks (one encode convention, one place).
     """
     if not native.available():
         raise RuntimeError("multi-host striping requires the native runtime")
@@ -81,22 +81,39 @@ def encode_stripe(stripe: bytes | np.ndarray, transform: str, entropy: str,
     data = np.frombuffer(stripe, dtype=np.uint8) \
         if not isinstance(stripe, np.ndarray) else stripe
     frames: list[tuple[bytes, int]] = []
-    scratch = None
     for off in range(0, len(data), block_size):
         block = np.ascontiguousarray(data[off:off + block_size])
-        cap = 2 * len(block) + 65536
-        if scratch is None or len(scratch) < cap:
-            scratch = np.empty(cap, dtype=np.uint8)
-        bits, _post, _flags, _cks = native.block_encode(
-            block, w.transform_type, w.entropy_type, w.ctx,
-            w.checksum_bits, bool(w.ctx.get("skipBlocks", False)), scratch)
+        scratch, bits = w._encode_one_native(block)
         frames.append((scratch[: (bits + 7) >> 3].tobytes(), bits))
     return frames
 
 
-def pack_stripe(frames: list[tuple[bytes, int]]) -> bytes:
-    """Serialize a rank's frames into an opaque transportable blob."""
+def _norm_cfg(transform: str, entropy: str) -> tuple[str, str]:
+    """Registry-normalized names, so worker and assembler spellings of the
+    same config always compare equal."""
+    from .. import entropy as entropy_mod
+    from .. import transforms as transforms_mod
+    return (transforms_mod.get_name(transforms_mod.get_type(transform)),
+            entropy_mod.get_name(entropy_mod.get_type(entropy)))
+
+
+def _pack_cfg(transform: str, entropy: str, block_size: int,
+              checksum: int) -> bytes:
+    transform, entropy = _norm_cfg(transform, entropy)
+    t, e = transform.encode(), entropy.encode()
+    return struct.pack("<IBH", block_size, checksum & 0xFF, len(t)) + t + \
+        struct.pack("<H", len(e)) + e
+
+
+def pack_stripe(frames: list[tuple[bytes, int]], transform: str = "NONE",
+                entropy: str = "NONE", block_size: int = 0,
+                checksum: int = 0) -> bytes:
+    """Serialize a rank's frames into an opaque transportable blob. The
+    codec config rides along so `assemble` can hard-fail on a worker/
+    assembler mismatch instead of silently writing a stream whose header
+    disagrees with its frames."""
     out = bytearray(_STRIPE_MAGIC)
+    out += _pack_cfg(transform, entropy, block_size, checksum)
     out += struct.pack("<I", len(frames))
     for payload, bits in frames:
         out += struct.pack("<QI", bits, len(payload))
@@ -104,12 +121,21 @@ def pack_stripe(frames: list[tuple[bytes, int]]) -> bytes:
     return bytes(out)
 
 
-def unpack_stripe(blob: bytes) -> list[tuple[bytes, int]]:
+def unpack_stripe(blob: bytes) -> tuple[list[tuple[bytes, int]], dict]:
     if blob[:4] != _STRIPE_MAGIC:
         raise ValueError("not a KZST stripe")
-    (nframes,) = struct.unpack_from("<I", blob, 4)
+    pos = 4
+    block_size, checksum, tl = struct.unpack_from("<IBH", blob, pos)
+    pos += 7
+    transform = blob[pos:pos + tl].decode()
+    pos += tl
+    (el,) = struct.unpack_from("<H", blob, pos)
+    pos += 2
+    entropy = blob[pos:pos + el].decode()
+    pos += el
+    (nframes,) = struct.unpack_from("<I", blob, pos)
+    pos += 4
     frames = []
-    pos = 8
     for _ in range(nframes):
         bits, plen = struct.unpack_from("<QI", blob, pos)
         pos += 12
@@ -117,7 +143,8 @@ def unpack_stripe(blob: bytes) -> list[tuple[bytes, int]]:
         pos += plen
     if pos != len(blob):
         raise ValueError("trailing bytes in stripe")
-    return frames
+    return frames, {"transform": transform, "entropy": entropy,
+                    "blockSize": block_size, "checksum": checksum}
 
 
 def assemble(stripes: list[bytes], transform: str, entropy: str,
@@ -134,10 +161,19 @@ def assemble(stripes: list[bytes], transform: str, entropy: str,
     w = Writer(None, transform=transform, entropy=entropy,
                block_size=block_size, checksum=checksum,
                file_size=total_size, ctx=dict(ctx) if ctx else None)
+    nt, ne = _norm_cfg(transform, entropy)
+    want = {"transform": nt, "entropy": ne,
+            "blockSize": block_size, "checksum": checksum & 0xFF}
     w._write_header()
     nblocks = 0
-    for blob in stripes:
-        for payload, bits in unpack_stripe(blob):
+    for rank, blob in enumerate(stripes):
+        frames, cfg = unpack_stripe(blob)
+        if cfg != want:
+            raise ValueError(
+                f"stripe {rank} was encoded with {cfg}, assemble invoked "
+                f"with {want}: the stream header would disagree with its "
+                f"frames")
+        for payload, bits in frames:
             w._append_frame(np.frombuffer(payload, dtype=np.uint8), bits)
             nblocks += 1
     w._block_id = nblocks
@@ -156,46 +192,23 @@ def compress_multihost(data: bytes, transform: str = "NONE",
     stripes = []
     for rank in range(world):
         s, e = stripe_range(len(data), block_size, rank, world)
-        stripes.append(pack_stripe(encode_stripe(
-            data[s:e], transform, entropy, block_size, checksum, ctx)))
+        stripes.append(pack_stripe(
+            encode_stripe(data[s:e], transform, entropy, block_size,
+                          checksum, ctx),
+            transform, entropy, block_size, checksum))
     return assemble(stripes, transform, entropy, block_size, len(data),
                     checksum, ctx)
-
-
-def _frame_table(blob: bytes):
-    """Serial frame walk (no payload decode — the reference's serialized
-    frame reads, v2/io/CompressedStream.go:1798-1856): returns
-    (frames [(bit_pos, block_id)...], reader) with the reader holding the
-    parsed header config."""
-    import io as _io
-
-    from ..bitstream import BitReader
-    from ..kio import Reader
-
-    r = Reader(_io.BytesIO(blob))
-    r._read_header()
-    br = BitReader(blob)
-    br._pos = r._br._pos
-    frames = []
-    block_id = 0
-    while True:
-        lw = br.read_bits(5) + 3
-        bits = br.read_bits(lw)
-        if bits == 0:
-            break
-        block_id += 1
-        frames.append((br._pos, block_id))
-        br._pos += bits
-    return frames, r
 
 
 def decode_stripe(blob: bytes, rank: int, world: int) -> bytes:
     """Decode rank's contiguous frame span of a KANZ stream (the decode
     side of P3: every rank reads the whole stream's frame table — cheap,
     no payload work — then decodes only its stripe of blocks)."""
+    from ..kio import frame_table
+
     if not 0 <= rank < world:
         raise ValueError(f"rank {rank} outside world {world}")
-    frames, r = _frame_table(blob)
+    frames, r = frame_table(blob)
     nblocks = len(frames)
     base, extra = divmod(nblocks, world)
     first = rank * base + min(rank, extra)
@@ -303,7 +316,8 @@ def main(argv: list[str] | None = None) -> int:
     frames = encode_stripe(stripe, args.transform, args.entropy,
                            args.block_size, args.checksum)
     with open(f"{args.output}.stripe{args.rank:05d}", "wb") as fh:
-        fh.write(pack_stripe(frames))
+        fh.write(pack_stripe(frames, args.transform, args.entropy,
+                             args.block_size, args.checksum))
     return 0
 
 

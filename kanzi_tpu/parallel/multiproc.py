@@ -134,32 +134,15 @@ def decompress_multiproc(blob, procs: int = 2) -> bytes:
     from concurrent.futures import ProcessPoolExecutor
     from multiprocessing import shared_memory
 
-    from ..kio import Reader
-    import io as _io
+    from ..kio import frame_table
 
     if not native.available():
         raise RuntimeError("multi-process decompression requires the native runtime")
     blob = bytes(blob)
 
-    # parse the header with the Reader machinery (validates magic/CRC and
-    # yields the first frame's bit position), then walk the frame lengths
-    # with an independent cursor over the raw blob — no payload decode
-    from ..bitstream import BitReader
-
-    r = Reader(_io.BytesIO(blob))
-    r._read_header()
-    br = BitReader(blob)
-    br._pos = r._br._pos
-    frames = []
-    block_id = 0
-    while True:
-        lw = br.read_bits(5) + 3
-        bits = br.read_bits(lw)
-        if bits == 0:
-            break
-        block_id += 1
-        frames.append((br._pos, block_id))
-        br._pos += bits
+    # header parse + serial frame walk (no payload decode), shared with
+    # the multi-host decode striping
+    frames, r = frame_table(blob)
     if not frames:
         return b""
 

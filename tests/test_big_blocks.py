@@ -12,8 +12,10 @@ import kanzi_tpu
 
 @pytest.mark.slow
 def test_level7_native_block_size_roundtrip():
+    import os
     import sys
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     from bench import synth_corpus
 
     data = synth_corpus()[: 20 << 20]  # 2 blocks: 16 MiB + 4 MiB tail

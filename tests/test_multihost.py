@@ -73,9 +73,25 @@ def test_multihost_world_larger_than_blocks():
 
 def test_stripe_pack_roundtrip():
     frames = [(b"\x01\x02\x03", 24), (b"", 0), (b"\xff" * 100, 799)]
-    assert multihost.unpack_stripe(multihost.pack_stripe(frames)) == frames
+    got_frames, cfg = multihost.unpack_stripe(
+        multihost.pack_stripe(frames, "LZ", "HUFFMAN", 65536, 32))
+    assert got_frames == frames
+    assert cfg == {"transform": "LZ", "entropy": "HUFFMAN",
+                   "blockSize": 65536, "checksum": 32}
     with pytest.raises(ValueError):
         multihost.unpack_stripe(b"XXXX\x00\x00\x00\x00")
+
+
+def test_assemble_rejects_config_mismatch():
+    """A worker/assembler config mismatch must be a hard error, not a
+    silently wrong stream."""
+    data = _corpus(65536 * 2)
+    frames = multihost.encode_stripe(data, "LZ", "HUFFMAN", 65536, 32)
+    stripe = multihost.pack_stripe(frames, "LZ", "HUFFMAN", 65536, 32)
+    with pytest.raises(ValueError, match="assemble invoked"):
+        multihost.assemble([stripe], "LZ", "NONE", 65536, len(data), 32)
+    with pytest.raises(ValueError, match="assemble invoked"):
+        multihost.assemble([stripe], "LZ", "HUFFMAN", 16384, len(data), 32)
 
 
 @pytest.mark.parametrize("world", [2, 4, 8])

@@ -36,8 +36,10 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 CORPUS_DIR = os.path.join(HERE, "fuzz_corpus")
 REGRESSIONS = os.path.join(CORPUS_DIR, "regressions.json")
 
-BASE_SEED = int(os.environ.get("KANZI_FUZZ_SEED", "0")) or \
-    int.from_bytes(os.urandom(4), "little")
+_env_seed = os.environ.get("KANZI_FUZZ_SEED")
+# explicit seed (including 0) must be honored for reproduction
+BASE_SEED = int(_env_seed) if _env_seed is not None \
+    else int.from_bytes(os.urandom(4), "little")
 
 
 def _case_seed(*parts) -> int:

@@ -33,6 +33,20 @@ def test_rolz_multichunk_text(transform):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("extra", [1, 4, 5, 11])
+def test_rolzx_degenerate_tail_chunks(extra):
+    """count % CHUNK in 1..4 used to EMIT an undecodable stream (decoder
+    chunk count differs from the encoder's — the reference pair breaks
+    identically); 5..11 used to read past the block before skipping. Both
+    corners must now skip cleanly and roundtrip via the copy path."""
+    rng = np.random.default_rng(1)
+    data = _words(rng, (16 << 20) + extra)
+    blob = kanzi_tpu.compress(data, transform="ROLZX", entropy="NONE",
+                              block_size=24 << 20, checksum=32)
+    assert kanzi_tpu.decompress(blob) == data
+
+
+@pytest.mark.slow
 def test_rolzx_multichunk_dna():
     rng = np.random.default_rng(77)
     data = np.frombuffer(b"ACGT", np.uint8)[
