@@ -36,6 +36,21 @@ REF_MS = {1: (173, 75), 2: (137, 88), 3: (230, 112), 4: (448, 185),
           8: (8362, 7943), 9: (17944, 17512)}
 REF_BYTES = 211_957_760
 
+# Ambient-window anchor pins: (enc_gbps, dec_gbps) for the bandwidth-bound
+# levels 0-4 from the committed good-window driver record BENCH_r03.json.
+# This shared vCPU's ambient contention drifts 15-20% between measurement
+# windows (identical code: L5 11.9-14.2 MB/s across hours); the anchor makes
+# the record self-calibrating — the same-run ratio of these levels against
+# the pinned values tells the reader which window THIS run landed in.
+# Contention is a per-level LATENCY gradient (docs/ARCHITECTURE.md): the
+# latency-bound levels 5-7 degrade MORE than these bandwidth-bound anchors,
+# so anchor < 1.0 means the raw L5-7 numbers understate solo capability by
+# at least (1 - anchor). The anchor is diagnostic only — headline numbers
+# are always reported raw, never rescaled.
+R03_WINDOW_PINS = {"0": (1.7162, 1.8783), "1": (0.2936, 0.5511),
+                   "2": (0.2611, 0.6241), "3": (0.1024, 0.3006),
+                   "4": (0.0548, 0.1426)}
+
 
 def synth_corpus(size: int = 64 << 20) -> bytes:
     """Deterministic mixed corpus (text/binary/dna/random), silesia-like."""
@@ -483,6 +498,26 @@ def main():
         "TPAQ/TPAQX margins from this series — the main corpus's repeated-"
         "document text is far more predictable than silesia's.")
 
+    # Ambient-window anchor: this run's bandwidth-bound levels vs the pinned
+    # good-window values (see R03_WINDOW_PINS comment).
+    anchor_ratios = {}
+    for lv, (pe, pd) in R03_WINDOW_PINS.items():
+        row = detail["levels"].get(lv)
+        if row:
+            anchor_ratios[lv] = {
+                "enc": round(row["enc_gbps"] / pe, 3),
+                "dec": round(row["dec_gbps"] / pd, 3)}
+    flat = [v for r in anchor_ratios.values() for v in (r["enc"], r["dec"])]
+    detail["ambient_window"] = {
+        "anchor_ratio_median": round(float(np.median(flat)), 3) if flat else None,
+        "anchors": anchor_ratios,
+        "pinned_from": "BENCH_r03.json (driver record, solo good window)",
+        "note": ("diagnostic only — headline numbers are raw. Anchors are "
+                 "bandwidth-bound levels 0-4; ambient contention is a "
+                 "per-level latency gradient, so latency-bound L5-7 degrade "
+                 "MORE than the anchor factor in a contended window "
+                 "(anchor 1.0 = same window quality as the r03 record)")}
+
     # per-core-equivalent comparison vs the 16-core reference machine
     ref_core = {}
     for lv, (e_ms, d_ms) in REF_MS.items():
@@ -502,7 +537,8 @@ def main():
         "vs_baseline": round(enc1 / 1e9 / BASELINE_L1_ENCODE_GBPS, 4),
     }), flush=True)
     print(json.dumps({"levels": detail["levels"],
-                      "reference_per_core": ref_core}),
+                      "reference_per_core": ref_core,
+                      "ambient_window": detail["ambient_window"]}),
           file=sys.stderr, flush=True)
 
     def gbps_or_null(v):
@@ -558,7 +594,8 @@ def main():
     # BENCH_r02.json.  tools/gen_readme_perf.py parses this from the tail.
     print(json.dumps({"levels": detail["levels"],
                       "levels_hard": detail["levels_hard"],
-                      "reference_per_core": detail["reference_per_core"]}),
+                      "reference_per_core": detail["reference_per_core"],
+                      "ambient_window": detail["ambient_window"]}),
           file=sys.stderr, flush=True)
 
 
