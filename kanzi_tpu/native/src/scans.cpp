@@ -21,6 +21,23 @@ enum {
 // ---------------------------------------------------------------------------
 // SBRT: sort-by-rank family parameterized by (mask1, mask2, shift)
 // ---------------------------------------------------------------------------
+
+// First index >= i in s[0..n) whose byte differs from c (vectorized run
+// scan). Post-BWT data is ~85% distance-1 repeats with mean run length ~7,
+// so one 64-byte compare usually covers the whole run.
+static inline i32 runEnd(const u8* s, i32 i, i32 n, u8 c) {
+#ifdef __AVX512BW__
+    __m512i vc = _mm512_set1_epi8((char)c);
+    while (i + 64 <= n) {
+        u64 m = _mm512_cmpneq_epi8_mask(
+            _mm512_loadu_si512((const void*)(s + i)), vc);
+        if (m) return i + (i32)__builtin_ctzll(m);
+        i += 64;
+    }
+#endif
+    while (i < n && s[i] == c) i++;
+    return i;
+}
 int sbrtForward(const u8* src, i32 count, u8* dst, i64 cap, int mode, i32* outLen) {
     if (cap < count) return 1;
     int mask1 = (mode == 3) ? 0 : -1;  // TIMESTAMP
@@ -40,12 +57,18 @@ int sbrtForward(const u8* src, i32 count, u8* dst, i64 cap, int mode, i32* outLe
         // position index), so it is a pure move-to-front: a short scalar
         // head for the common near-front hits (memchr's setup cost exceeds
         // a 4-entry scan), vectorized find beyond, one memmove, no rank map
-        for (i32 i = 0; i < count; i++) {
+        for (i32 i = 0; i < count;) {
             u8 c = src[i];
-            u32 r;
             if (r2s[0] == c) {
-                r = 0;
-            } else if (r2s[1] == c) {
+                // front hit: the whole run of c emits zeros with no list
+                // movement — batch it (see the RANK path run collapse)
+                i32 j = runEnd(src, i + 1, count, c);
+                std::memset(dst + i, 0, (size_t)(j - i));
+                i = j;
+                continue;
+            }
+            u32 r;
+            if (r2s[1] == c) {
                 r = 1;
             } else if (r2s[2] == c) {
                 r = 2;
@@ -55,10 +78,9 @@ int sbrtForward(const u8* src, i32 count, u8* dst, i64 cap, int mode, i32* outLe
                 r = (u32)((const u8*)std::memchr(r2s, c, 256) - r2s);
             }
             dst[i] = (u8)r;
-            if (r > 0) {
-                std::memmove(r2s + 1, r2s, r);
-                r2s[0] = c;
-            }
+            std::memmove(r2s + 1, r2s, r);  // r >= 1: front hits batched above
+            r2s[0] = c;
+            i++;
         }
         *outLen = count;
         return 0;
@@ -80,12 +102,26 @@ int sbrtForward(const u8* src, i32 count, u8* dst, i64 cap, int mode, i32* outLe
         alignas(64) i32 qrv[256] = {0};
         i32 pv[256] = {0};
         for (int i = 0; i < 256; i++) r2sv[i] = (u8)i;
-        for (i32 i = 0; i < count; i++) {
+        for (i32 i = 0; i < count;) {
             u8 c = src[i];
-            u32 r;
             if (r2sv[0] == c) {
-                r = 0;
-            } else {
+                // Rank-0 hit: r=0 forces rt=0 (the backward count runs over
+                // an empty prefix), so c stays at the front and the whole
+                // run of c collapses to zeros. Stepwise the recurrence is
+                // qc_k = (k + p_prev)>>1 with p_prev = k-1 from the second
+                // element on, so after the run qrv[0] = j-2 and pv[c] = j-1
+                // — identical to executing the loop per element (~85% of
+                // post-BWT symbols take this path; measured run stats in
+                // docs/ARCHITECTURE.md).
+                i32 j = runEnd(src, i + 1, count, c);
+                std::memset(dst + i, 0, (size_t)(j - i));
+                qrv[0] = (j - i == 1) ? (i + pv[c]) >> 1 : j - 2;
+                pv[c] = j - 1;
+                i = j;
+                continue;
+            }
+            u32 r;
+            {
                 __m512i vc = _mm512_set1_epi8((char)c);
                 u64 m0 = _mm512_cmpeq_epi8_mask(
                     _mm512_load_si512((const void*)&r2sv[0]), vc);
@@ -140,6 +176,7 @@ int sbrtForward(const u8* src, i32 count, u8* dst, i64 cap, int mode, i32* outLe
             }
             r2sv[rt] = c;
             qrv[rt] = qc;
+            i++;
         }
         *outLen = count;
         return 0;
@@ -179,14 +216,20 @@ int sbrtInverse(const u8* src, i32 count, u8* dst, i64 cap, int mode, i32* outLe
     for (int i = 0; i < 256; i++) r2s[i] = (u8)i;
 
     if (mode == 1) {  // pure MTF (see sbrtForward)
-        for (i32 i = 0; i < count; i++) {
+        for (i32 i = 0; i < count;) {
             u32 r = src[i];
+            if (r == 0) {  // batch the zero-rank run (front symbol repeats)
+                u8 c0 = r2s[0];
+                i32 j = runEnd(src, i + 1, count, 0);
+                std::memset(dst + i, c0, (size_t)(j - i));
+                i = j;
+                continue;
+            }
             u8 c = r2s[r];
             dst[i] = c;
-            if (r > 0) {
-                std::memmove(r2s + 1, r2s, r);
-                r2s[0] = c;
-            }
+            std::memmove(r2s + 1, r2s, r);
+            r2s[0] = c;
+            i++;
         }
         *outLen = count;
         return 0;
@@ -202,8 +245,20 @@ int sbrtInverse(const u8* src, i32 count, u8* dst, i64 cap, int mode, i32* outLe
         alignas(64) i32 qrv[256] = {0};
         i32 pv[256] = {0};
         for (int i = 0; i < 256; i++) r2sv[i] = (u8)i;
-        for (i32 i = 0; i < count; i++) {
+        for (i32 i = 0; i < count;) {
             u32 r = src[i];
+            if (r == 0) {
+                // mirror of the forward's rank-0 run collapse: a run of
+                // zero ranks keeps r2sv[0] at the front; decode it as one
+                // memset with the same end-state recurrence
+                u8 c0 = r2sv[0];
+                i32 j = runEnd(src, i + 1, count, 0);
+                std::memset(dst + i, c0, (size_t)(j - i));
+                qrv[0] = (j - i == 1) ? (i + pv[c0]) >> 1 : j - 2;
+                pv[c0] = j - 1;
+                i = j;
+                continue;
+            }
             u8 c = r2sv[r];
             dst[i] = c;
             i32 qc = (i + pv[c]) >> 1;
@@ -236,6 +291,7 @@ int sbrtInverse(const u8* src, i32 count, u8* dst, i64 cap, int mode, i32* outLe
             }
             r2sv[rt] = c;
             qrv[rt] = qc;
+            i++;
         }
         *outLen = count;
         return 0;
