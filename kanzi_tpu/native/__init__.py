@@ -165,6 +165,23 @@ def get_lib():
         lib.kz_stream_close.restype = ctypes.c_int64
         lib.kz_stream_close.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
+        lib.kz_compress.restype = ctypes.c_int64
+        lib.kz_compress.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_uint64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int64, ctypes.POINTER(Ctx), ctypes.c_void_p,
+            ctypes.c_int64]
+        lib.kz_decompress.restype = ctypes.c_int64
+        lib.kz_decompress.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.POINTER(Ctx), ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int32]
+        lib.kz_stream_info.restype = ctypes.c_int64
+        lib.kz_stream_info.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64)]
         _lib = lib
         return _lib
 
@@ -512,6 +529,69 @@ def stream_close(stream: np.ndarray, bitpos: int) -> int:
     if res < 0:
         raise RuntimeError("stream close overflow")
     return int(res)
+
+
+def c_compress(data, block_size: int, chain: int, etype: int, ctx: dict,
+               checksum_bits: int = 0, headerless: bool = False,
+               skip_blocks: bool = False, orig_size: int | None = None) -> bytes:
+    """Whole-stream one-shot compress through the standalone C API
+    (kz_compress). Byte-identical to the Python Writer for the same
+    parameters; exists so C/C++ consumers have a complete container
+    entry point (docs/C_API.md) and so tests can pin that identity."""
+    lib = get_lib()
+    src = _as_buf(data)
+    cap = len(src) + (len(src) >> 1) + 4 * block_size + (1 << 16)
+    dst = _get_scratch("cc", cap)
+    c = make_ctx(ctx)
+    res = lib.kz_compress(
+        src.ctypes.data, len(src), block_size, chain, etype, checksum_bits,
+        1 if headerless else 0, 1 if skip_blocks else 0,
+        len(src) if orig_size is None else orig_size,
+        ctypes.byref(c), dst.ctypes.data, len(dst))
+    if res < 0:
+        raise RuntimeError(f"kz_compress failed (err={res})")
+    return dst[:res].tobytes()
+
+
+def c_decompress(blob, out_cap: int, ctx: dict | None = None,
+                 headerless: bool = False, chain: int = 0, etype: int = 0,
+                 checksum_bits: int = 0, block_size: int = 0) -> bytes:
+    """Whole-stream one-shot decompress through the standalone C API
+    (kz_decompress). v6 headers only; legacy streams go through the Python
+    Reader."""
+    lib = get_lib()
+    src = _as_buf(blob)
+    dst = _get_scratch("cd", max(out_cap, 1))
+    c = make_ctx(ctx or {"bsVersion": 6})
+    res = lib.kz_decompress(
+        src.ctypes.data, len(src), dst.ctypes.data, len(dst),
+        ctypes.byref(c), 1 if headerless else 0, chain, etype,
+        checksum_bits, block_size)
+    if res == -7:
+        raise ChecksumMismatch()
+    if res < 0:
+        raise RuntimeError(f"kz_decompress failed (err={res})")
+    return dst[:res].tobytes()
+
+
+def c_stream_info(blob) -> dict:
+    """Parse a v6 stream header via kz_stream_info."""
+    lib = get_lib()
+    src = _as_buf(blob)
+    ckb = ctypes.c_int32(0)
+    et = ctypes.c_int32(0)
+    ch = ctypes.c_uint64(0)
+    bs = ctypes.c_int32(0)
+    osz = ctypes.c_int64(-1)
+    res = lib.kz_stream_info(src.ctypes.data, len(src), ctypes.byref(ckb),
+                             ctypes.byref(et), ctypes.byref(ch),
+                             ctypes.byref(bs), ctypes.byref(osz))
+    if res < 0:
+        raise RuntimeError(f"kz_stream_info failed (err={res})")
+    return {"header_bits": int(res), "checksum_bits": int(ckb.value),
+            "entropy_type": int(et.value), "transform_chain": int(ch.value),
+            "block_size": int(bs.value),
+            "orig_size": None if osz.value < 0 else int(osz.value)}
 
 
 HDR_STRIDE = 1024

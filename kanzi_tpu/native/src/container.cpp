@@ -64,7 +64,7 @@ constexpr u32 STREAM_TYPE = 0x4B414E5A;  // "KANZ" checksum seed
 constexpr int INCOMPRESSIBLE = 973;
 
 struct Scratch {
-    std::vector<u8> a, b, c;
+    std::vector<u8> a, b, c, d;
 };
 
 Scratch& scratch() {
@@ -598,6 +598,190 @@ int64_t kz_frame_append(uint8_t* stream, int64_t streamCapBytes, int64_t bitpos,
         }
     }
     return endBits;
+}
+
+// ---------------------------------------------------------------------------
+// Whole-stream one-shot API: a standalone C consumer can produce and consume
+// complete KANZ v6 containers with no Python layer at all. Byte-identical to
+// the Python Writer for the same parameters (pinned by tests/test_c_api.py);
+// serial single-pass, which equals any job count by the statelessness
+// contract (v2/Definitions.go:50-52). Decode accepts v6 headers only —
+// legacy v1-v5 streams go through the Python Reader, which owns the
+// versioned header layouts. Reference: v2/io/CompressedStream.go:429-519
+// (header + 24-bit CRC fold), :951-976 (frames), :592-594 (end marker).
+// ---------------------------------------------------------------------------
+
+int64_t kz_frame_append(uint8_t* stream, int64_t streamCapBytes, int64_t bitpos,
+                        const uint8_t* payload, int64_t payloadBits);
+int64_t kz_stream_close(uint8_t* stream, int64_t streamCapBytes, int64_t bitpos);
+
+static int64_t headerCrc24(int ckSize, int etype, uint64_t chain,
+                           int64_t blockSize, uint32_t szMask, uint64_t osz) {
+    constexpr u32 HH = 0x1E35A7BD;
+    u32 seed = 0x01030507u * 6u;  // x version
+    u32 ck = HH * seed;
+    ck ^= HH * (u32)~(u32)ckSize;
+    ck ^= HH * (u32)~(u32)etype;
+    u64 nchain = ~chain;
+    ck ^= HH * (u32)(nchain >> 32);
+    ck ^= HH * (u32)nchain;
+    ck ^= HH * (u32)~(u32)blockSize;
+    if (szMask) {
+        u64 nosz = ~osz;
+        ck ^= HH * (u32)(nosz >> 32);
+        ck ^= HH * (u32)nosz;
+    }
+    return (int64_t)(((ck >> 23) ^ (ck >> 3)) & 0xFFFFFF);
+}
+
+// Compress `src[0..n)` into a complete KANZ v6 stream in `dst`. origSize < 0
+// means "unknown" (header szMask 0 — same as a streaming writer that never
+// learned the input size); one-shot callers normally pass n. Returns total
+// stream bytes or a negative error.
+int64_t kz_compress(const uint8_t* src, int64_t n, int32_t blockSize,
+                    uint64_t chain, int etype, int checksumBits,
+                    int headerless, int skipBlocks, int64_t origSize,
+                    Ctx* ctxIn, uint8_t* dst, int64_t cap) {
+    try {
+        if (blockSize < 1024 || blockSize > MAX_BLOCK_SIZE || (blockSize & 15))
+            return -3;
+        int ckSize = checksumBits == 0 ? 0
+                   : checksumBits == 32 ? 1 : checksumBits == 64 ? 2 : -1;
+        if (ckSize < 0) return -4;
+        i64 bitpos = 0;
+        if (!headerless) {
+            OBS obs(dst, cap);
+            obs.writeBits(STREAM_TYPE, 32);
+            obs.writeBits(6, 4);
+            obs.writeBits((u32)ckSize, 2);
+            obs.writeBits((u32)etype, 5);
+            obs.writeBits(chain, 48);
+            obs.writeBits((u64)((u32)blockSize >> 4), 28);
+            u32 szMask = 0;
+            u64 osz = origSize < 0 ? 0 : (u64)origSize;
+            if (osz != 0 && osz < (u64(1) << 48))
+                szMask = osz >= (u64(1) << 32) ? 3
+                       : osz >= (u64(1) << 16) ? 2 : 1;
+            obs.writeBits(szMask, 2);
+            if (szMask) obs.writeBits(osz, 16 * szMask);
+            obs.writeBits(0, 15);
+            obs.writeBits((u64)headerCrc24(ckSize, etype, chain, blockSize,
+                                           szMask, osz), 24);
+            bitpos = (i64)obs.written();  // whole bytes by construction
+            obs.close();
+        }
+        Scratch& s = scratch();
+        i64 bcap = 2 * (i64)blockSize + 65536;
+        growTouch(s.d, (size_t)bcap);
+        i64 off = 0;
+        while (off < n) {
+            i32 m = (i32)std::min<i64>(blockSize, n - off);
+            Ctx bctx = *ctxIn;  // fresh per block, as the Python Writer does
+            bctx.blockSize = blockSize;
+            i64 bits = kz_block_encode(src + off, m, chain, etype, &bctx,
+                                       checksumBits, skipBlocks, s.d.data(),
+                                       bcap, nullptr, nullptr, nullptr);
+            if (bits < 0) return bits;
+            bitpos = kz_frame_append(dst, cap, bitpos, s.d.data(), bits);
+            if (bitpos < 0) return -10;
+            off += m;
+        }
+        return kz_stream_close(dst, cap, bitpos);
+    } catch (const std::exception&) {
+        return -1;
+    }
+}
+
+// Parse a v6 stream header. Returns the header length in bits (>= 0) or a
+// negative error (-20 bad magic, -21 unsupported version — use the Python
+// Reader for legacy streams, -23 bad block size, -24 CRC mismatch).
+// origSize receives -1 when the header does not carry the input size.
+int64_t kz_stream_info(const uint8_t* src, int64_t nbytes,
+                       int32_t* checksumBits, int32_t* etype, uint64_t* chain,
+                       int32_t* blockSize, int64_t* origSize) {
+    try {
+        IBS h(src, nbytes);
+        if (h.readBits(32) != STREAM_TYPE) return -20;
+        u32 version = (u32)h.readBits(4);
+        if (version != 6) return -21;
+        u32 ckSize = (u32)h.readBits(2);
+        if (ckSize > 2) return -22;
+        int et = (int)h.readBits(5);
+        u64 ch = h.readBits(48);
+        i64 bs = (i64)h.readBits(28) << 4;
+        if (bs < 1024 || bs > MAX_BLOCK_SIZE || (bs & 15)) return -23;
+        u32 szMask = (u32)h.readBits(2);
+        u64 osz = 0;
+        if (szMask) osz = h.readBits(16 * szMask);
+        h.readBits(15);
+        u32 crc = (u32)h.readBits(24);
+        if ((i64)crc != headerCrc24((int)ckSize, et, ch, bs, szMask, osz))
+            return -24;
+        if (checksumBits) *checksumBits = ckSize == 0 ? 0 : ckSize == 1 ? 32 : 64;
+        if (etype) *etype = et;
+        if (chain) *chain = ch;
+        if (blockSize) *blockSize = (int32_t)bs;
+        if (origSize) *origSize = szMask ? (int64_t)osz : -1;
+        return (int64_t)h.read();
+    } catch (const std::exception&) {
+        return -1;
+    }
+}
+
+// Decompress a complete KANZ v6 stream (or a headerless stream with the
+// parameters supplied). Returns the decoded byte count or a negative error.
+int64_t kz_decompress(const uint8_t* src, int64_t nbytes, uint8_t* dst,
+                      int64_t cap, Ctx* ctxIn, int headerless,
+                      uint64_t chainIn, int etypeIn, int checksumBitsIn,
+                      int32_t blockSizeIn) {
+    try {
+        u64 chain;
+        int etype, checksumBits;
+        i64 blockSize, pos;
+        if (headerless) {
+            chain = chainIn;
+            etype = etypeIn;
+            checksumBits = checksumBitsIn;
+            blockSize = blockSizeIn;
+            if (blockSize < 1024 || blockSize > MAX_BLOCK_SIZE || (blockSize & 15))
+                return -23;
+            pos = 0;
+        } else {
+            int32_t ckb = 0, et32 = 0, bs32 = 0;
+            uint64_t ch = 0;
+            int64_t osz = 0;
+            i64 hbits = kz_stream_info(src, nbytes, &ckb, &et32, &ch, &bs32, &osz);
+            if (hbits < 0) return hbits;
+            chain = ch;
+            etype = et32;
+            checksumBits = ckb;
+            blockSize = bs32;
+            pos = hbits;
+        }
+        i64 out = 0;
+        for (;;) {
+            if ((pos >> 3) >= nbytes) return -25;
+            IBS f(src + (pos >> 3), nbytes - (pos >> 3));
+            if (pos & 7) f.readBits((u32)(pos & 7));
+            u32 lw = (u32)f.readBits(5) + 3;
+            u64 pbits = f.readBits(lw);
+            if (pbits == 0) break;  // end-of-stream marker
+            pos += 5 + lw;
+            if (pos + (i64)pbits > nbytes * 8) return -26;
+            Ctx bctx = *ctxIn;
+            bctx.blockSize = (i32)blockSize;
+            i64 r = kz_block_decode(src + (pos >> 3), nbytes - (pos >> 3),
+                                    (int)(pos & 7), chain, etype, &bctx,
+                                    checksumBits, (i32)blockSize,
+                                    dst + out, cap - out);
+            if (r < 0) return r;
+            out += r;
+            pos += (i64)pbits;
+        }
+        return out;
+    } catch (const std::exception&) {
+        return -1;
+    }
 }
 
 // Write the zero-length end-of-stream marker and zero-pad the final byte.
