@@ -468,10 +468,13 @@ def main():
             "enc_gbps": round(enc / 1e9, 4), "dec_gbps": round(dec / 1e9, 4),
             "ratio": round(sz / len(d), 4)}
     # Claim-bearing levels (margins vs the reference per-core bar are a few
-    # percent): interleaved median-of-5 with min/max spread after warmup,
+    # percent): interleaved median-of-N with min/max spread after warmup,
     # so the official record can support the claim (VERDICT r3, weak #2).
+    # 7 rounds (~+15 s vs 5) so a single ambient spike cannot drag the
+    # median; the spread max doubles as the least-contended sample.
     # Extra keys go AFTER ratio so tail-parsing regexes keep matching.
-    med = bench_levels_median(slice16, (5, 6, 7), runs=5)
+    MED_RUNS = 7
+    med = bench_levels_median(slice16, (5, 6, 7), runs=MED_RUNS)
     for lv in (5, 6, 7):
         e_med, d_med, e_sp, d_sp, sz = med[lv]
         detail["levels"][str(lv)] = {
@@ -482,7 +485,7 @@ def main():
                                 round(e_sp[1] / 1e9, 4)],
             "dec_spread_gbps": [round(d_sp[0] / 1e9, 4),
                                 round(d_sp[1] / 1e9, 4)],
-            "stat": "median-of-5"}
+            "stat": f"median-of-{MED_RUNS}"}
     # Hard slice: silesia-difficulty corpus for honest L8/9 ratio margins
     # (the main corpus flatters high-order models; VERDICT r3, weak #6).
     hard = synth_hard_corpus(4 << 20)

@@ -460,6 +460,27 @@ def _check_container(seed: int):
         assert blob4 == blob, (
             f"jobs=4 diverged: chain={chain} entropy={entropy} "
             f"bs={block_size} seed={seed} (base {BASE_SEED})")
+        # triangulate the standalone C one-shot (kz_compress/kz_decompress)
+        # against the Writer on the same drawn config — a third format
+        # implementation must never drift (docs/C_API.md, test_c_api.py)
+        from kanzi_tpu import native
+        cchain, cet = kt.get_type(chain), ke.get_type(entropy)
+        cctx = {"bsVersion": 6, "jobs": 1, "blockSize": block_size,
+                "entropy": entropy}
+        cblob = native.c_compress(data, block_size, cchain, cet, cctx,
+                                  checksum_bits=checksum,
+                                  headerless=headerless)
+        assert cblob == blob, (
+            f"C one-shot diverged from Writer: chain={chain} "
+            f"entropy={entropy} bs={block_size} cks={checksum} "
+            f"headerless={headerless} seed={seed} (base {BASE_SEED})")
+        cout = native.c_decompress(
+            cblob, len(data) + 1024, {"bsVersion": 6},
+            headerless=headerless, chain=cchain, etype=cet,
+            checksum_bits=checksum, block_size=block_size)
+        assert cout == data, (
+            f"C decompress diverged: chain={chain} entropy={entropy} "
+            f"bs={block_size} seed={seed} (base {BASE_SEED})")
     except Exception as e:  # any failure (incl. engine errors) is a find
         _record_failure({"type": "container", "codec": chain, "kind": kind,
                          "size": size, "seed": seed})
