@@ -171,6 +171,35 @@ def _fuzz_body():
             except Exception:
                 pass
 
+    # 6. the standalone C whole-stream decoder (kz_decompress frame walk +
+    # kz_stream_info header parse, docs/C_API.md) under the same attacks —
+    # new surface vs section 5, which exercises the Python frame walk
+    def try_c_decompress(b):
+        try:
+            native.c_decompress(b, 1 << 18, dict(ctx))
+        except Exception:
+            pass
+
+    for level in (1, 5):
+        blob = bytearray(kanzi_tpu.compress(data, level=level, checksum=32,
+                                            block_size=65536))
+        for _ in range(80):
+            mut = bytearray(blob)
+            for _ in range(rng.randrange(1, 4)):
+                mut[rng.randrange(len(mut))] ^= 1 << rng.randrange(8)
+            try_c_decompress(bytes(mut))
+        for cut in list(range(min(len(blob), 30))) + \
+                [len(blob) // 2, len(blob) - 1]:
+            try_c_decompress(bytes(blob[:cut]))
+    for _ in range(40):
+        n = rng.choice([0, 1, 4, 24, 25, 200])
+        garbage = bytes(rng.randrange(256) for _ in range(n))
+        try_c_decompress(garbage)
+        try:
+            native.c_stream_info(garbage)
+        except Exception:
+            pass
+
     print("FUZZ-OK")
 
 
