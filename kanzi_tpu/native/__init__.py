@@ -540,17 +540,27 @@ def c_compress(data, block_size: int, chain: int, etype: int, ctx: dict,
     entry point (docs/C_API.md) and so tests can pin that identity."""
     lib = get_lib()
     src = _as_buf(data)
+    # Optimistic estimate first; err=-10 means the stream outgrew it (tiny
+    # blocks can expand several-fold: per-block entropy headers dominate),
+    # so retry once at the provable worst case — each block payload fits the
+    # encoder's own 2*bs+64KiB scratch, plus <=8 frame-overhead bytes.
     cap = len(src) + (len(src) >> 1) + 4 * block_size + (1 << 16)
-    dst = _get_scratch("cc", cap)
+    nblocks = max(1, -(-len(src) // block_size))
+    worst = 64 + nblocks * (2 * block_size + (1 << 16) + 8)
     c = make_ctx(ctx)
-    res = lib.kz_compress(
-        src.ctypes.data, len(src), block_size, chain, etype, checksum_bits,
-        1 if headerless else 0, 1 if skip_blocks else 0,
-        len(src) if orig_size is None else orig_size,
-        ctypes.byref(c), dst.ctypes.data, len(dst))
-    if res < 0:
-        raise RuntimeError(f"kz_compress failed (err={res})")
-    return dst[:res].tobytes()
+    while True:
+        dst = _get_scratch("cc", cap)
+        res = lib.kz_compress(
+            src.ctypes.data, len(src), block_size, chain, etype,
+            checksum_bits, 1 if headerless else 0, 1 if skip_blocks else 0,
+            len(src) if orig_size is None else orig_size,
+            ctypes.byref(c), dst.ctypes.data, len(dst))
+        if res == -10 and cap < worst:
+            cap = worst
+            continue
+        if res < 0:
+            raise RuntimeError(f"kz_compress failed (err={res})")
+        return dst[:res].tobytes()
 
 
 def c_decompress(blob, out_cap: int, ctx: dict | None = None,

@@ -637,7 +637,11 @@ static int64_t headerCrc24(int ckSize, int etype, uint64_t chain,
 // Compress `src[0..n)` into a complete KANZ v6 stream in `dst`. origSize < 0
 // means "unknown" (header szMask 0 — same as a streaming writer that never
 // learned the input size); one-shot callers normally pass n. Returns total
-// stream bytes or a negative error.
+// stream bytes or a negative error. Returns -10 when `cap` is too small:
+// streams can EXPAND (small blocks pay per-block entropy headers), and the
+// provable worst case is 64 + ceil(n/blockSize) * (2*blockSize + 65536 + 8)
+// bytes — each block payload fits the encoder's own bcap scratch below,
+// plus <= 8 frame-overhead bytes (docs/C_API.md "Sizing dst").
 int64_t kz_compress(const uint8_t* src, int64_t n, int32_t blockSize,
                     uint64_t chain, int etype, int checksumBits,
                     int headerless, int skipBlocks, int64_t origSize,
