@@ -368,9 +368,17 @@ int64_t kz_block_decode(const uint8_t* src, int64_t srcBytes, int bitOff,
         int nbtr = parseChain(tType, ids);
         constructChain(ids, nbtr, etype, ctx);
 
-        // inverse scratch must fit any intermediate expansion
+        // Inverse scratch must fit any intermediate expansion. The forward
+        // ran inside ping-pong buffers of chainRequired(blockSize) bytes
+        // (see kz_block_encode), so every intermediate of a conformant
+        // stream is bounded by it — e.g. SRT+SRT+BWT+ROLZ on a 1 KiB block
+        // legitimately passes a 1556-byte intermediate through the chain
+        // (fuzz seed 425151180). Crafted streams that exceed it still fail
+        // cleanly on the per-stage cap check.
         i64 invCap = (i64)blockSize + ((blockSize >> 4) > 512 ? (blockSize >> 4) : 512) + 16;
         if (invCap < preLen + 1024) invCap = preLen + 1024;
+        i64 req = chainRequired(ids, nbtr, blockSize);
+        if (invCap < req) invCap = req;
         Scratch& s = scratch();
         growTouch(s.c, (size_t)invCap);
         u8* buf = s.c.data();
