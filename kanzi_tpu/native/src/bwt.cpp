@@ -33,6 +33,22 @@ static constexpr i32 BWT_THRESHOLD2 = 4 * 1024 * 1024;
 
 static inline int bwtChunks(i32 size) { return size < BWT_THRESHOLD1 ? 1 : 8; }
 
+// Grow-only per-thread scratch for the inverse walks: keeps the multi-MB
+// LF vectors on warm (and hugepage-collapsed) memory instead of paying
+// first-touch faults per block. Zeroing semantics of the fresh vectors the
+// reference allocates per call (BWT.go:219,377) are preserved explicitly at
+// each use site — the walks' corrupted-stream behavior depends on them.
+struct BwtInverseScratch {
+    std::vector<i32> data;
+    std::vector<i32> buckets;
+    std::vector<u16> fastBits;
+};
+
+static BwtInverseScratch& bwtScratch() {
+    static thread_local BwtInverseScratch s;
+    return s;
+}
+
 // indexes[8]: filled with primary indexes (SA rank + 1 of chunk starts)
 static void bwtForwardCore(const u8* src, u8* dst, i32 n, u32* indexes) {
     if (n == 1) {
@@ -76,8 +92,12 @@ static void inverseMergeTPSI(const u8* src, u8* dst, i32 count, const u32* index
 
     // max(count, 256): on a corrupted stream the 0xFF00|src[0] sentinel
     // entry can surface mid-walk as cursor value 255; a zeroed slot there
-    // keeps the walk in bounds (garbage output is caught by the checksum)
-    std::vector<i32> data(std::max(count, 256));
+    // keeps the walk in bounds (garbage output is caught by the checksum).
+    // The fill below writes every slot in [0, count) (the bucket offsets
+    // form an exact permutation), so only the count < 256 padding needs the
+    // explicit zeroing the fresh reference vector provided.
+    i32* data = hugePoolGrow(bwtScratch().data, (size_t)std::max(count, 256));
+    if (count < 256) std::memset(data, 0, 256 * sizeof(i32));
     i32 buckets[256];
     {
         i32 freqs[256];
@@ -144,12 +164,18 @@ static void inverseBiPSIv2(const u8* src, u8* dst, i32 count, const u32* indexes
     i32 pIdx = (i32)indexes[0];
     if (pIdx > count) throw Error("corrupted BWT primary index");
 
-    std::vector<i32> data(count + 1);
+    // pooled, explicitly zeroed: unlike mergeTPSI the fill skips the two
+    // primary-index slots, and on corrupted streams stale pool values here
+    // could index fastBits out of bounds — the zeroing is load-bearing
+    BwtInverseScratch& scratch = bwtScratch();
+    i32* data = hugePoolGrow(scratch.data, (size_t)count + 1);
+    std::memset(data, 0, ((size_t)count + 1) * sizeof(i32));
     i32 freqs[256];
     computeHistogram(src, count, freqs);
     // one sentinel slot: the decode walk scans `while (buckets[s] <= p) s++`
     // and a corrupted stream can drive s past the last real bucket
-    std::vector<i32> buckets(65537, 0);
+    i32* buckets = hugePoolGrow(scratch.buckets, (size_t)65537);
+    std::memset(buckets, 0, 65537 * sizeof(i32));
     buckets[65536] = INT32_MAX;
 
     for (i32 c = 0, sum = 1; c < 256; c++) {
@@ -157,7 +183,7 @@ static void inverseBiPSIv2(const u8* src, u8* dst, i32 count, const u32* indexes
         sum += freqs[c];
         freqs[c] = f;
         if (f != sum) {
-            i32* ptr = buckets.data() + (c << 8);
+            i32* ptr = buckets + (c << 8);
             i32 hi = std::min(sum, pIdx);
             i32 lo = std::max(f - 1, pIdx);
             for (i32 i = f; i < hi; i++) ptr[src[i]]++;
@@ -166,13 +192,14 @@ static void inverseBiPSIv2(const u8* src, u8* dst, i32 count, const u32* indexes
     }
 
     int lastc = src[0];
-    std::vector<u16> fastBits(BWT_MASK_FASTBITS + 1);
+    u16* fastBits = hugePoolGrow(scratch.fastBits, (size_t)BWT_MASK_FASTBITS + 1);
+    std::memset(fastBits, 0, ((size_t)BWT_MASK_FASTBITS + 1) * sizeof(u16));
     u32 shift = 0;
     while ((count >> shift) > BWT_MASK_FASTBITS) shift++;
 
     for (i32 c = 0, v = 0, sum = 1; c < 256; c++) {
         if (c == lastc) sum++;
-        i32* ptr = buckets.data() + c;
+        i32* ptr = buckets + c;
         for (i32 d = 0; d < 256; d++) {
             i32 val = ptr[d << 8];
             ptr[d << 8] = sum;

@@ -50,6 +50,37 @@ static inline u32 log2_32(u32 x) {  // floor(log2(x)), x >= 1
     return 31u - __builtin_clz(x);
 }
 
+// Map the interior of [p, p+bytes) to transparent hugepages (mem.cpp).
+// Best effort; call once per pool growth, not per block.
+void adviseHugePages(void* p, size_t bytes);
+int thpMode();  // KANZI_THP: 0 off, 1 advise-before-touch, 2 collapse-after
+
+// Grow-only scratch pool: resize-if-smaller. On growth the OLD CONTENTS ARE
+// DISCARDED (every pool using this rewrites its contents per call) so the
+// replacement allocation can be advised for hugepages BEFORE first touch —
+// fresh pages then fault in as 2 MiB directly, instead of faulting 4K and
+// paying a MADV_COLLAPSE copy (+ possible compaction stall) afterwards.
+template <typename T>
+inline T* hugePoolGrow(std::vector<T>& v, size_t n) {
+    if (v.size() < n) {
+        bool grew = v.capacity() < n;
+        if (grew && thpMode() == 1) {
+            // advise BEFORE first touch: a fresh mmap'd reserve then faults
+            // 2 MiB pages directly (no 4K-fault + collapse-copy double cost)
+            std::vector<T>().swap(v);  // release before allocating the bigger run
+            v.reserve(n);
+            adviseHugePages(v.data(), n * sizeof(T));
+        }
+        v.resize(n);
+        // post-touch collapse: no-op when the pages faulted huge above, a
+        // bounded one-time copy when malloc reused warm 4K heap pages (the
+        // common case in-process, where M_MMAP_THRESHOLD is raised) or in
+        // the measurement-only mode 2
+        if (grew && thpMode() != 0) adviseHugePages(v.data(), n * sizeof(T));
+    }
+    return v.data();
+}
+
 // ---------------------------------------------------------------------------
 // MSB-first bit writer over a caller-provided byte buffer.
 // ---------------------------------------------------------------------------

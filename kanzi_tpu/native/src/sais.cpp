@@ -79,8 +79,7 @@ void saisCore(const ST* st, i32* SA, i32 n, i32 K, int depth) {
     std::vector<i32>& buckets = S.buckets;
     counts.assign(K, 0);
     buckets.resize(K);
-    if ((i32)S.lms.size() < (n >> 1) + 1) S.lms.resize((n >> 1) + 1);
-    i32* lms = S.lms.data();
+    i32* lms = hugePoolGrow(S.lms, (size_t)(n >> 1) + 1);
 
     // Fused pass: symbol counts + LMS positions in text order (branchless
     // append: the slot is always written, the cursor advances only on LMS)
@@ -220,10 +219,8 @@ void saisCore(const ST* st, i32* SA, i32 n, i32 K, int depth) {
     }
 
     // Build the reduced string (LMS names in text order)
-    if ((i32)S.s1.size() < m) S.s1.resize(m);
-    if ((i32)S.sa1.size() < m) S.sa1.resize(m);
-    i32* s1 = S.s1.data();
-    i32* SA1 = S.sa1.data();
+    i32* s1 = hugePoolGrow(S.s1, (size_t)m);
+    i32* SA1 = hugePoolGrow(S.sa1, (size_t)m);
     for (i32 i = 0, j = 0; i < n - m; i++)
         if (names[i] >= 0) s1[j++] = names[i];
 
@@ -235,8 +232,7 @@ void saisCore(const ST* st, i32* SA, i32 n, i32 K, int depth) {
         // elements — half the random-gather footprint of the induce loops —
         // apply almost always; u32 is the correctness fallback.
         if (name < 32768) {
-            if ((i32)S.st16.size() < m) S.st16.resize(m);
-            u16* st1 = S.st16.data();
+            u16* st1 = hugePoolGrow(S.st16, (size_t)m);
             st1[m - 1] = (u16)((s1[m - 1] << 1) | 1);
             for (i32 i = m - 2; i >= 0; i--) {
                 bool sType = (s1[i] < s1[i + 1]) ||
@@ -245,8 +241,7 @@ void saisCore(const ST* st, i32* SA, i32 n, i32 K, int depth) {
             }
             saisCore<u16>(st1, SA1, m, name, depth + 1);
         } else {
-            if ((i32)S.st32.size() < m) S.st32.resize(m);
-            u32* st1 = S.st32.data();
+            u32* st1 = hugePoolGrow(S.st32, (size_t)m);
             st1[m - 1] = (u32)(s1[m - 1] << 1) | 1;
             for (i32 i = m - 2; i >= 0; i--) {
                 bool sType = (s1[i] < s1[i + 1]) ||
@@ -291,7 +286,7 @@ SaisPools& saisPools() {
 const i32* suffixArrayView(const u8* src, i32 n) {
     SaisPools& pools = saisPools();
     std::vector<u16>& st = pools.st;
-    if ((i32)st.size() < n + 1) st.resize(n + 1);
+    hugePoolGrow(st, (size_t)n + 1);
     // fused (symbol+1, type) elements, right to left
     st[n] = 1;  // sentinel: symbol 0, S-type
     {
@@ -308,7 +303,7 @@ const i32* suffixArrayView(const u8* src, i32 n) {
         }
     }
     std::vector<i32>& SA = pools.sa;
-    if ((i32)SA.size() < n + 1) SA.resize(n + 1);
+    hugePoolGrow(SA, (size_t)n + 1);
     saisCore<u16>(st.data(), SA.data(), n + 1, 257, 0);
     // SA[0] is the sentinel suffix; drop it
     return SA.data() + 1;

@@ -280,7 +280,8 @@ class TPAQPredictor {
         // per-block re-init below is a plain warm memset.
         TPAQPools& pools = tpaqPools();
         auto grow8 = [](std::vector<u8>& v, size_t n) -> u8* {
-            if (v.size() < n) v.resize(n);
+            hugePoolGrow(v, n);  // hashed-context tables: hugepages cut the
+                                 // per-access TLB walk on the ~GB tables
             std::memset(v.data(), 0, n);
             return v.data();
         };
@@ -294,8 +295,7 @@ class TPAQPredictor {
         bigStatesMap_ = grow8(pools.big, statesSize);
         smallStatesMap0_ = grow8(pools.small0, 1u << 16);
         smallStatesMap1_ = grow8(pools.small1, 1u << 24);
-        if (pools.hashes.size() < hashSize) pools.hashes.resize(hashSize);
-        hashes_ = pools.hashes.data();
+        hashes_ = hugePoolGrow(pools.hashes, (size_t)hashSize);
         std::memset(hashes_, 0, (size_t)hashSize * sizeof(i32));
         buffer_ = grow8(pools.buf, bufferSize);
         statesMask_ = (i32)(statesSize - 1);
