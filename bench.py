@@ -264,6 +264,27 @@ def bench_levels_median(data: bytes, levels, runs: int = 5):
             for lv in levels}
 
 
+def device_available(timeout_s: float = 150.0) -> bool:
+    """Probe JAX device initialization in a SUBPROCESS with a timeout.
+
+    The tunneled 'axon' platform hangs indefinitely inside native PJRT
+    client creation when the tunnel is down (observed: even
+    JAX_PLATFORMS=cpu blocks, because plugin discovery still touches the
+    tunnel). An in-process attempt would therefore hang the whole bench and
+    lose the full record past the driver timeout; a killed subprocess
+    cannot. 150 s budget: device init through the tunnel takes up to ~30 s
+    when healthy, first compiles 20-40 s."""
+    import subprocess
+    try:
+        rc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL).returncode
+        return rc == 0
+    except Exception:
+        return False
+
+
 def bench_device_kernel():
     """Device Huffman pack throughput.
 
@@ -546,6 +567,16 @@ def main():
 
     def gbps_or_null(v):
         return None if v is None else round(v / 1e9, 4)
+
+    if not device_available():
+        # Tunnel down: emit the full host record instead of hanging in
+        # native device-client creation (which no in-process guard can
+        # interrupt) and losing everything past the driver timeout.
+        detail["device"] = ("unavailable: jax device-init probe failed or "
+                            "timed out (TPU tunnel down?) — device sections "
+                            "skipped, host numbers above are complete")
+        print(json.dumps(detail), file=sys.stderr, flush=True)
+        return
 
     compute, readback, dev_name = bench_device_kernel()
     detail["device_huffman_pack_compute_gbps"] = gbps_or_null(compute)
