@@ -32,7 +32,21 @@ def decompress_multiproc(*args, **kwargs):
 
 
 def device_mesh(n_devices: int | None = None) -> Mesh:
-    """1-D mesh over the 'blocks' axis."""
+    """1-D mesh over the 'blocks' axis.
+
+    Honors a JAX_PLATFORMS env override even under this image's interpreter
+    startup hook, which reads the variable before user code runs and pins
+    the platform config (so the env alone is silently ignored — and with
+    the preset 'axon' a downed TPU tunnel hangs device init forever). Only
+    applied while backends are still uninitialized.
+    """
+    import os
+    want = os.environ.get("JAX_PLATFORMS")
+    if want and jax.config.jax_platforms != want:
+        try:
+            jax.config.update("jax_platforms", want)
+        except RuntimeError:
+            pass  # backends already initialized: keep the live platform
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
