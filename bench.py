@@ -576,6 +576,16 @@ def main():
                             "timed out (TPU tunnel down?) — device sections "
                             "skipped, host numbers above are complete")
         print(json.dumps(detail), file=sys.stderr, flush=True)
+        # same tail-truncation guard as the normal path: the compact level
+        # matrix must be the LAST stderr line (see the comment at the end
+        # of main — the long detail line's head gets truncated out of the
+        # driver record)
+        print(json.dumps({"levels": detail["levels"],
+                          "levels_hard": detail["levels_hard"],
+                          "reference_per_core": detail["reference_per_core"],
+                          "ambient_window": detail["ambient_window"],
+                          "device": detail["device"]}),
+              file=sys.stderr, flush=True)
         return
 
     compute, readback, dev_name = bench_device_kernel()

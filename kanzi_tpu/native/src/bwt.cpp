@@ -162,7 +162,14 @@ static void inverseMergeTPSI(const u8* src, u8* dst, i32 count, const u32* index
 static void inverseBiPSIv2(const u8* src, u8* dst, i32 count, const u32* indexes,
                            int jobs) {
     i32 pIdx = (i32)indexes[0];
-    if (pIdx > count) throw Error("corrupted BWT primary index");
+    if (pIdx <= 0 || pIdx > count) throw Error("corrupted BWT primary index");
+    // every chunk's index seeds a walk cursor into data[0..count] and
+    // fastBits[idx >> shift]: validate all 8 like mergeTPSI does (a
+    // corrupted chunk index would otherwise read far out of bounds)
+    for (int c = 0; c < 8; c++) {
+        i32 idx = (i32)indexes[c];
+        if (idx < 0 || idx > count) throw Error("corrupted BWT primary index");
+    }
 
     // pooled, explicitly zeroed: unlike mergeTPSI the fill skips the two
     // primary-index slots, and on corrupted streams stale pool values here

@@ -66,17 +66,19 @@ inline T* hugePoolGrow(std::vector<T>& v, size_t n) {
         bool grew = v.capacity() < n;
         if (grew && thpMode() == 1) {
             // advise BEFORE first touch: a fresh mmap'd reserve then faults
-            // 2 MiB pages directly (no 4K-fault + collapse-copy double cost)
+            // 2 MiB pages directly (no 4K-fault + collapse-copy double
+            // cost), and when malloc instead returns a warm already-faulted
+            // chunk (raised M_MMAP_THRESHOLD in-process), the same call's
+            // MADV_COLLAPSE converts those present pages — so no second
+            // advise after resize is needed (reserve guarantees resize
+            // cannot move the allocation)
             std::vector<T>().swap(v);  // release before allocating the bigger run
             v.reserve(n);
             adviseHugePages(v.data(), n * sizeof(T));
         }
         v.resize(n);
-        // post-touch collapse: no-op when the pages faulted huge above, a
-        // bounded one-time copy when malloc reused warm 4K heap pages (the
-        // common case in-process, where M_MMAP_THRESHOLD is raised) or in
-        // the measurement-only mode 2
-        if (grew && thpMode() != 0) adviseHugePages(v.data(), n * sizeof(T));
+        // measurement-only mode 2: collapse strictly after first touch
+        if (grew && thpMode() == 2) adviseHugePages(v.data(), n * sizeof(T));
     }
     return v.data();
 }

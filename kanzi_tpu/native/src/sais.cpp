@@ -32,11 +32,14 @@
 //   processed SAIS_PREFETCH iterations ahead (latency-bound random gathers;
 //   the SA read itself is sequential); the scans are split so the main loop
 //   carries no prefetch bounds check.
-// Measured-and-rejected here (don't redo blindly): hugepage (MADV_HUGEPAGE)
-// scratch — neutral on this virtualized host; naming via an inverse-LMS
-// index writing the reduced string directly (fewer passes but random
-// scatter, 10-15% slower); fusing naming into the collect scan (slower);
-// packed (pos,prev-sym) induce entries (round 2, neutral).
+// Measured-and-rejected here (don't redo blindly): naming via an
+// inverse-LMS index writing the reduced string directly (fewer passes but
+// random scatter, 10-15% slower); fusing naming into the collect scan
+// (slower); packed (pos,prev-sym) induce entries (round 2, neutral).
+// Overturned in round 5: hugepage scratch, previously "neutral", wins 7%
+// on the sort when advised BEFORE first touch (hugePoolGrow below; the
+// old attempt advised already-4K-faulted pages, which does nothing — see
+// the ledger entry in docs/ARCHITECTURE.md).
 //
 // Ge Nong, Sen Zhang, Wai Hong Chan:
 // "Two Efficient Algorithms for Linear Time Suffix Array Construction" (2009).
