@@ -147,6 +147,29 @@ def _fuzz_body():
         for big in (0x7FFFFFFF, 0xFFFFFFFE, 1 << 24):
             hdr = big.to_bytes(4, "little") * 3 + b"\x04" + b"A" * 200
             try_inverse(tt, hdr)
+
+    # 4b. big-block BWT: the > 4 MiB inverse takes the biPSIv2 path, which
+    # random 64 KiB fuzz never reaches — a crafted chunk index there read
+    # far out of bounds before round 5 validated all 8. Adversarial mode
+    # bytes and index fields over a real biPSIv2-size payload.
+    big_n = (4 << 20) + 1024
+    big_payload = bytes(np.frombuffer(
+        random.Random(0xB19B).randbytes(big_n), np.uint8))
+    ctx_big = {"bsVersion": 6, "blockSize": big_n}
+    idx_vals = (0, 1, 255, 1000, big_n - 1, big_n, big_n + 1,
+                0x00FFFFFF, 0x7FFFFFFF, 0x80000000, 0xFFFFFFFE, 0xFFFFFFFF)
+    for mode in (0x0F, 0x0E, 0x0D, 0x0C, 0x1F, 0xFF, 0x00, 0x03):
+        n_idx = (1 << ((mode >> 2) & 7)) * ((mode & 3) + 1)
+        for _ in range(6):
+            hdr = bytes([mode]) + bytes(
+                b for v in (rng.choice(idx_vals) for _ in range(8))
+                for b in v.to_bytes(4, "big"))[:max(n_idx, 4)]
+            try:
+                native.transform_inverse(
+                    1, np.frombuffer(hdr + big_payload, np.uint8),
+                    dict(ctx_big), big_n + 2048)
+            except Exception:
+                pass
             hdr_be = big.to_bytes(4, "big") * 4 + b"B" * 200
             try_inverse(tt, hdr_be)
 
