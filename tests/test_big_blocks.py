@@ -57,3 +57,42 @@ def test_bipsiv2_rejects_corrupt_chunk_indexes():
     out = native.transform_inverse(1, np.frombuffer(buf, np.uint8),
                                    ctx, n + 1024)
     assert len(out) == n
+
+
+def test_bwt_inverse_threshold_boundary():
+    """Blocks at exactly 4 MiB, one below and one above: the inverse
+    switches from mergeTPSI to biPSIv2 at BWT_THRESHOLD2 (bwt.cpp), and
+    both sides now run on the shared per-thread pooled scratch — the
+    boundary must roundtrip on both paths with the pool warm from the
+    OTHER path's size."""
+    from kanzi_tpu import native
+
+    rng = np.random.default_rng(17)
+    text = (b"the boundary of the two inverse walks " * 4096)
+    for n in ((4 << 20) - 1, (4 << 20), (4 << 20) + 1):
+        data = (text * (n // len(text) + 1))[: n // 2] + rng.integers(
+            0, 64, n - n // 2, dtype=np.uint8).tobytes()
+        ctx = {"bsVersion": 6, "blockSize": n, "jobs": 1}
+        fwd, _ = native.transform_forward(1, np.frombuffer(data, np.uint8),
+                                          dict(ctx), n + 33)
+        back = native.transform_inverse(1, np.frombuffer(fwd, np.uint8),
+                                        dict(ctx), n + 1024)
+        assert back == data, n
+
+
+@pytest.mark.slow
+def test_big_block_jobs_identity():
+    """jobs=1 vs jobs=3 byte-identity at 20 MiB with 8 MiB blocks (biPSIv2
+    decode on worker threads, each with its own pooled scratch)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import synth_corpus
+
+    data = synth_corpus()[: 20 << 20]
+    b1 = kanzi_tpu.compress(data, level=6, block_size=8 << 20, jobs=1)
+    b3 = kanzi_tpu.compress(data, level=6, block_size=8 << 20, jobs=3)
+    assert b1 == b3
+    assert kanzi_tpu.decompress(b1, jobs=3) == data
+    assert kanzi_tpu.decompress(b1, jobs=1) == data
