@@ -42,15 +42,19 @@ int bwtsForward(const u8* src, i32 count, u8* dst, i64 cap, Ctx& ctx, i32* outLe
         return 0;
     }
 
-    std::vector<i32> sa(count), isa(count);
-    suffixArray(src, sa.data(), count);
+    // per-thread pooled (hugepage-advised) like the BWT scratch: both
+    // arrays are fully rewritten below before any read
+    static thread_local std::vector<i32> saPool, isaPool;
+    i32* sa = hugePoolGrow(saPool, (size_t)count);
+    i32* isa = hugePoolGrow(isaPool, (size_t)count);
+    suffixArray(src, sa, count);
     for (i32 i = 0; i < count; i++) isa[sa[i]] = i;
 
     i32 minv = isa[0];
     i32 idxMin = 0;
     for (i32 i = 1; i < count && minv > 0; i++) {
         if (isa[i] >= minv) continue;
-        i32 refRank = moveLyndonWordHead(sa.data(), isa.data(), src, count,
+        i32 refRank = moveLyndonWordHead(sa, isa, src, count,
                                          idxMin, i - idxMin, minv);
         for (i32 j = i - 1; j > idxMin; j--) {
             i32 testRank = isa[j];
@@ -96,7 +100,8 @@ int bwtsInverse(const u8* src, i32 count, u8* dst, i64 cap, Ctx& ctx, i32* outLe
         return 0;
     }
 
-    std::vector<i32> lf(count);
+    static thread_local std::vector<i32> lfPool;
+    i32* lf = hugePoolGrow(lfPool, (size_t)count);  // fully rewritten below
     i32 buckets[256] = {0};
     for (i32 i = 0; i < count; i++) buckets[src[i]]++;
     i32 sum = 0;
