@@ -102,8 +102,34 @@ static int readLengthROLZ(const u8* lenBuf, int* consumed) {
 // ---------------------------------------------------------------------------
 // Codec 1 (ANS sections)
 // ---------------------------------------------------------------------------
+// Thread-local pooled match tables (hugepage-advised): up to
+// ROLZ_HASH_SIZE << 8 u32 (64 MB) of random per-key access, re-zeroed per
+// use exactly as the fresh vectors were. The pool is grow-only, so the
+// logical length is tracked separately (matchesLen) — per-chunk clears
+// must not touch a larger previous allocation.
+static std::vector<u32>& rolzMatchesPoolC1() {
+    static thread_local std::vector<u32> p;
+    return p;
+}
+
+static std::vector<u32>& rolzMatchesPoolC2() {
+    static thread_local std::vector<u32> p;
+    return p;
+}
+
 struct RolzC1 {
-    std::vector<u32> matches;
+    std::vector<u32>& matches = rolzMatchesPoolC1();
+    size_t matchesLen = 0;
+
+    void resetMatches(size_t n) {
+        matchesLen = n;
+        hugePoolGrow(matches, n);
+        std::memset(matches.data(), 0, n * sizeof(u32));
+    }
+
+    void clearMatches() {
+        std::memset(matches.data(), 0, matchesLen * sizeof(u32));
+    }
     std::vector<i32> counters;
     u32 logPosChecks;
     i32 maskChecks, posChecks;
@@ -201,11 +227,11 @@ struct RolzC1 {
         i64 srcIdx = 0;
         i64 dstIdx = 5;
 
-        matches.assign((size_t)ROLZ_HASH_SIZE << logPosChecks, 0);
+        resetMatches((size_t)ROLZ_HASH_SIZE << logPosChecks);
 
         while (startChunk < srcEnd) {
             i64 litIdx = 0, lenIdx = 0, mIdx = 0, tkIdx = 0;
-            std::fill(matches.begin(), matches.end(), 0);
+            clearMatches();
             i64 endChunk = startChunk + sizeChunk;
             if (endChunk >= srcEnd) {
                 endChunk = srcEnd;
@@ -378,11 +404,11 @@ struct RolzC1 {
             throw Error("ROLZ inverse: invalid logPosChecks");
         posChecks = 1 << logPosChecks;
         maskChecks = posChecks - 1;
-        matches.assign((size_t)ROLZ_HASH_SIZE << logPosChecks, 0);
+        resetMatches((size_t)ROLZ_HASH_SIZE << logPosChecks);
 
         while (startChunk < dstEnd) {
             i64 mIdx = 0, lenIdx = 0, litIdx = 0, tkIdx = 0;
-            std::fill(matches.begin(), matches.end(), 0);
+            clearMatches();
             i64 endChunk = startChunk + sizeChunk;
             if (endChunk > dstEnd) endChunk = dstEnd;
             sizeChunk = endChunk - startChunk;
@@ -655,7 +681,18 @@ struct RolzCM {
 };
 
 struct RolzC2 {
-    std::vector<u32> matches;
+    std::vector<u32>& matches = rolzMatchesPoolC2();
+    size_t matchesLen = 0;
+
+    void resetMatches(size_t n) {
+        matchesLen = n;
+        hugePoolGrow(matches, n);
+        std::memset(matches.data(), 0, n * sizeof(u32));
+    }
+
+    void clearMatches() {
+        std::memset(matches.data(), 0, matchesLen * sizeof(u32));
+    }
     std::vector<i32> counters;
     u32 logPosChecks;
     i32 maskChecks, posChecks;
@@ -665,7 +702,7 @@ struct RolzC2 {
         posChecks = 1 << lpc;
         maskChecks = posChecks - 1;
         counters.assign(1 << 16, 0);
-        matches.assign((size_t)ROLZ_HASH_SIZE << lpc, 0);
+        resetMatches((size_t)ROLZ_HASH_SIZE << lpc);
     }
 
     void findMatch(const u8* buf, i64 bufLen, i64 pos, u32 key, int* outIdx, int* outLen) {
@@ -777,7 +814,7 @@ struct RolzC2 {
         i64 sizeChunk = std::min((i64)count, ROLZ_CHUNK_SIZE);
 
         while (startChunk < srcEnd) {
-            std::fill(matches.begin(), matches.end(), 0);
+            clearMatches();
             i64 endChunk = startChunk + sizeChunk;
             if (endChunk >= srcEnd) endChunk = srcEnd;
             sizeChunk = endChunk - startChunk;
@@ -871,7 +908,7 @@ struct RolzC2 {
         std::fill(counters.begin(), counters.end(), 0);
 
         while (startChunk < dstEnd) {
-            std::fill(matches.begin(), matches.end(), 0);
+            clearMatches();
             i64 endChunk = startChunk + sizeChunk;
             if (endChunk > dstEnd) {
                 endChunk = dstEnd;
