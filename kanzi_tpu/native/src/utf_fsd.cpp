@@ -174,7 +174,11 @@ int utfForward(const u8* src, i32 count, u8* dst, i64 cap, Ctx& ctx, i32* outLen
     if (mustValidate && !validateUTF(src + start, count - 4 - start)) return 1;
     ctx.dataType = DT_UTF8;
 
-    std::vector<i32> aliasMap((size_t)1 << 22, 0);
+    // per-thread pooled + hugepage-advised: 16 MB of random codepoint
+    // counting per UTF block; the zero-fill is the per-call semantics
+    static thread_local std::vector<i32> aliasMapPool;
+    i32* aliasMap = hugePoolGrow(aliasMapPool, (size_t)1 << 22);
+    std::memset(aliasMap, 0, ((size_t)1 << 22) * sizeof(i32));
     struct SD {
         i32 sym, freq;
     };
