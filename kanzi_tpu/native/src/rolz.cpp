@@ -557,6 +557,17 @@ struct RolzC1 {
 struct RolzCM {
     u8* buf;
     i64* idx;
+    // Hard output bound for the ENCODER. The reference allocates
+    // srcLen+srcLen/32 of slack and does not bounds-check per byte
+    // (ROLZCodec.go:1351-1353 admits this); adversarial/incompressible
+    // chunks CAN exceed that (>= 9 coded bits per literal byte), which in
+    // Go panics the whole stream and in C++ was a heap overflow (found by
+    // the round-4 fuzz seed 22222 under ASAN). Since *idx only grows and
+    // limit > count, hitting the bound guarantees the final
+    // "dstIdx >= count -> no compression -> skip" outcome, so aborting
+    // early is observably identical to an unbounded run.
+    i64 limit = INT64_MAX;
+    bool overflow = false;
     u64 low = 0, high = ROLZ_TOP, current = 0;
     std::vector<int> probs[2];
     u32 logSize[2];
@@ -594,6 +605,10 @@ struct RolzCM {
             c1 += c1 + 1;
         }
         while (((low ^ high) >> 24) == 0) {
+            if (*idx + 4 > limit) {  // see `limit` note above
+                overflow = true;
+                return;
+            }
             u32 v = (u32)(high >> 32);
             buf[*idx] = (u8)(v >> 24);
             buf[*idx + 1] = (u8)(v >> 16);
@@ -621,6 +636,10 @@ struct RolzCM {
     }
 
     void disposeEnc() {
+        if (*idx + 8 > limit) {
+            overflow = true;
+            return;
+        }
         for (int i = 0; i < 8; i++) {
             buf[*idx + i] = (u8)(low >> 56);
             low <<= 8;
@@ -777,6 +796,7 @@ struct RolzC2 {
         dst[2] = (u8)(count >> 8);
         dst[3] = (u8)count;
         RolzCM re(9, logPosChecks, dst, &dstIdx);
+        re.limit = cap;
 
         std::fill(counters.begin(), counters.end(), 0);
         minMatch = ROLZ_MIN_MATCH3;
@@ -847,6 +867,7 @@ struct RolzC2 {
                 re.encodeBits(matchIdx, logPosChecks);
                 srcIdx += matchLen + minMatch;
             }
+            if (re.overflow) return 1;  // output >= cap > count: skip
             startChunk = endChunk;
         }
 
@@ -857,6 +878,7 @@ struct RolzC2 {
             srcIdx++;
         }
         re.disposeEnc();
+        if (re.overflow) return 1;
 
         if (srcIdx != count) return 1;
         if (dstIdx >= count) return 1;  // no compression

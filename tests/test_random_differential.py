@@ -25,6 +25,8 @@ generator x chunk-boundary size plus the slow spec models (TPAQ, ROLZ)
 import json
 import os
 import struct
+import subprocess
+import sys
 
 import numpy as np
 import pytest
@@ -33,8 +35,20 @@ from kanzi_tpu import entropy as ke
 from kanzi_tpu import transforms as kt
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
 CORPUS_DIR = os.path.join(HERE, "fuzz_corpus")
 REGRESSIONS = os.path.join(CORPUS_DIR, "regressions.json")
+# crash journal: the current case descriptor is written here BEFORE it
+# executes, so a hard native crash (segfault aborts pytest without running
+# any failure handler) still leaves the reproducing seed on disk. The
+# round-4 review lost its original in-suite crash seed exactly this way.
+LAST_CASE = os.path.join(CORPUS_DIR, "last_case.json")
+
+
+def _pre_draw(descriptor: dict) -> None:
+    os.makedirs(CORPUS_DIR, exist_ok=True)
+    with open(LAST_CASE, "w") as f:
+        json.dump({"base_seed": BASE_SEED, **descriptor}, f)
 
 _env_seed = os.environ.get("KANZI_FUZZ_SEED")
 # explicit seed (including 0) must be honored for reproduction
@@ -240,6 +254,8 @@ def _record_failure(entry: dict) -> None:
 
 
 def _check_entropy(codec: str, kind: str, size: int, seed: int):
+    _pre_draw({"type": "entropy", "codec": codec, "kind": kind,
+               "size": size, "seed": seed})
     rng = np.random.default_rng(seed)
     data = GENERATORS[kind](rng, size)
     ctx = {"blockSize": 65536, "size": len(data)}
@@ -261,6 +277,8 @@ def _check_entropy(codec: str, kind: str, size: int, seed: int):
 
 
 def _check_transform(name: str, kind: str, size: int, seed: int):
+    _pre_draw({"type": "transform", "codec": name, "kind": kind,
+               "size": size, "seed": seed})
     rng = np.random.default_rng(seed)
     data = GENERATORS[kind](rng, size)
     try:
@@ -380,6 +398,8 @@ def _check_rolz_exe(name: str, kind: str, size: int, seed: int):
     from specmodel.rolz import SpecSkip as RolzSkip
     from specmodel.rolz import rolz1_forward, rolz2_forward
 
+    _pre_draw({"type": "rolz_exe", "codec": name, "kind": kind,
+               "size": size, "seed": seed})
     rng = np.random.default_rng(seed)
     data = GENERATORS[kind](rng, size)
     if name == "EXE":
@@ -419,15 +439,10 @@ def _check_rolz_exe(name: str, kind: str, size: int, seed: int):
         raise
 
 
-def _check_container(seed: int):
-    """Random container config x random data roundtrip: random transform
-    CHAINS (1-8 stages drawn from all 19), random entropy, block size,
-    checksum, headerless, jobs — the interaction axis the fixed matrices
-    don't cover (reference io test style,
-    v2/io/CompressedStream_test.go:29-96). Also asserts jobs=1 vs jobs=N
-    byte-identity on every drawn config."""
-    import kanzi_tpu
-
+def _draw_container_config(seed: int):
+    """The config draw for a container case, separated so the parent
+    process can describe a case (for regression entries) without running
+    any native code."""
     rng = np.random.default_rng(seed)
     names = ["BWT", "BWTS", "LZ", "LZX", "LZP", "ROLZ", "ROLZX", "RLT",
              "ZRLT", "MTFT", "RANK", "SRT", "TEXT", "UTF", "PACK", "DNA",
@@ -443,6 +458,52 @@ def _check_container(seed: int):
     kind = list(GENERATORS)[int(rng.integers(0, len(GENERATORS)))]
     size = int(rng.integers(1, 200000))
     data = GENERATORS[kind](rng, size)
+    return chain, entropy, block_size, checksum, headerless, kind, size, data
+
+
+def _check_container(seed: int):
+    """Random container config x random data roundtrip, isolated in a
+    SUBPROCESS: the case includes native one-shot triangulation, and a
+    native crash must fail one test with a reproducible seed instead of
+    killing pytest (round-4 review lost its crash seed to exactly that).
+    The descriptor is journaled to LAST_CASE before anything executes."""
+    (chain, entropy, block_size, checksum, headerless, kind, size,
+     _data) = _draw_container_config(seed)
+    entry = {"type": "container", "codec": chain, "kind": kind,
+             "size": size, "seed": seed}
+    _pre_draw(entry)
+    env = dict(os.environ)
+    env.update({"PYTHONPATH": REPO, "JAX_PLATFORMS": "cpu"})
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__),
+         "--container-case", str(seed)],
+        capture_output=True, text=True, env=env, timeout=600)
+    if r.returncode != 0 or "CASE-OK" not in r.stdout:
+        if not env.get("KANZI_FUZZ_INJECT_SEGV"):
+            _record_failure(entry)
+        sig = f" (signal {-r.returncode})" if r.returncode < 0 else ""
+        raise AssertionError(
+            f"container fuzz failure: chain={chain} entropy={entropy} "
+            f"bs={block_size} cks={checksum} headerless={headerless} "
+            f"kind={kind} size={size} seed={seed} (base {BASE_SEED}): "
+            f"rc={r.returncode}{sig}\n"
+            f"stdout={r.stdout[-1500:]}\nstderr={r.stderr[-2500:]}")
+
+
+def _run_container_case(seed: int):
+    """The in-process body of a container case (run inside the isolation
+    subprocess): Writer roundtrip, jobs=1 vs jobs=4 byte-identity, and
+    triangulation of the standalone C one-shot (kz_compress/kz_decompress)
+    against the Writer (docs/C_API.md, test_c_api.py). Reference io test
+    style: v2/io/CompressedStream_test.go:29-96."""
+    import signal
+
+    import kanzi_tpu
+
+    if os.environ.get("KANZI_FUZZ_INJECT_SEGV"):
+        os.kill(os.getpid(), signal.SIGSEGV)
+    (chain, entropy, block_size, checksum, headerless, kind, size,
+     data) = _draw_container_config(seed)
     cfg = dict(transform=chain, entropy=entropy, block_size=block_size,
                checksum=checksum, headerless=headerless)
     try:
@@ -481,14 +542,28 @@ def _check_container(seed: int):
         assert cout == data, (
             f"C decompress diverged: chain={chain} entropy={entropy} "
             f"bs={block_size} seed={seed} (base {BASE_SEED})")
-    except Exception as e:  # any failure (incl. engine errors) is a find
-        _record_failure({"type": "container", "codec": chain, "kind": kind,
-                         "size": size, "seed": seed})
+    except Exception as e:  # the parent records the regression entry
         raise AssertionError(
             f"container fuzz failure: chain={chain} entropy={entropy} "
             f"bs={block_size} cks={checksum} headerless={headerless} "
             f"kind={kind} size={size} seed={seed} (base {BASE_SEED}): "
             f"{type(e).__name__}: {e}") from e
+    print("CASE-OK")
+
+
+def test_triangulation_crash_isolated(monkeypatch, tmp_path):
+    """A hard native crash inside a container case must surface as a
+    normal test failure naming the seed (and must not abort pytest).
+    Verified by injecting SIGSEGV into the isolation subprocess."""
+    monkeypatch.setenv("KANZI_FUZZ_INJECT_SEGV", "1")
+    seed = _case_seed("segv-injection", 0)
+    with pytest.raises(AssertionError) as exc:
+        _check_container(seed)
+    msg = str(exc.value)
+    assert f"seed={seed}" in msg and "signal" in msg
+    # the pre-draw journal must already name the case
+    j = json.load(open(LAST_CASE))
+    assert j["seed"] == seed and j["base_seed"] == BASE_SEED
 
 
 def test_container_random_config_quick():
@@ -526,6 +601,8 @@ def _check_legacy(combo: str, kind: str, size: int, seed: int):
         assert kanzi_tpu.decompress(blob) == data
         return
 
+    _pre_draw({"type": "legacy", "codec": combo, "kind": kind,
+               "size": size, "seed": seed})
     combos = {
         "v4_ans0": (4, 5, lambda b: sans.ans_encode(b, 0)),
         "v4_ans1": (4, 8, lambda b: sans.ans_encode(b, 1)),
@@ -602,3 +679,9 @@ def test_rolz_exe_random_differential(name):
         for size in sizes:
             _check_rolz_exe(name, kind, size,
                             _case_seed("sweep", name, kind, size))
+
+
+if __name__ == "__main__":
+    # isolation-subprocess entry: run one container case in-process
+    if "--container-case" in sys.argv:
+        _run_container_case(int(sys.argv[sys.argv.index("--container-case") + 1]))
