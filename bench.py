@@ -469,6 +469,22 @@ def bench_device_batch_curve(budget_s: float = 300.0):
     return out
 
 
+def _mini_anchor(slice16) -> float:
+    """One L2 enc+dec run against the r03 pins: a cheap (~0.1 s)
+    independent probe of the CURRENT window's quality, used to choose
+    between contested-level passes without selecting on the result."""
+    import kanzi_tpu
+    t = time.perf_counter()
+    blob = kanzi_tpu.compress(slice16, level=2)
+    enc = len(slice16) / (time.perf_counter() - t)
+    t = time.perf_counter()
+    out = kanzi_tpu.decompress(blob)
+    dec = len(slice16) / (time.perf_counter() - t)
+    assert out == slice16
+    pe, pd = R03_WINDOW_PINS["2"]
+    return float(np.median([enc / 1e9 / pe, dec / 1e9 / pd]))
+
+
 def main():
     data = synth_corpus()
     detail = {"levels": {}}
@@ -480,35 +496,74 @@ def main():
 
     slice16 = data[: 16 << 20]
     slice4 = data[: 4 << 20]
-    # Claim-bearing levels FIRST (right after the L1 headline): margins vs
-    # the reference per-core bar are a few percent and this host's good
-    # ambient windows last minutes — spending them on the comfortable
-    # 1.5-4x levels before the contested ones repeatedly cost the medians
-    # the window the launcher saw. Interleaved median-of-N with min/max
-    # spread after warmup (VERDICT r3, weak #2); 7 rounds so a single
-    # ambient spike cannot drag the median.
-    # Extra keys go AFTER ratio so tail-parsing regexes keep matching.
-    MED_RUNS = 7
-    med = bench_levels_median(slice16, (5, 6, 7), runs=MED_RUNS)
-    for lv in (5, 6, 7):
-        e_med, d_med, e_sp, d_sp, sz = med[lv]
-        detail["levels"][str(lv)] = {
-            "enc_gbps": round(e_med / 1e9, 4),
-            "dec_gbps": round(d_med / 1e9, 4),
-            "ratio": round(sz / len(slice16), 4),
-            "enc_spread_gbps": [round(e_sp[0] / 1e9, 4),
-                                round(e_sp[1] / 1e9, 4)],
-            "dec_spread_gbps": [round(d_sp[0] / 1e9, 4),
-                                round(d_sp[1] / 1e9, 4)],
-            "stat": f"median-of-{MED_RUNS}"}
-    for lv in (0, 2, 3, 4, 8, 9):
-        d = slice4 if lv >= 8 else slice16
-        # levels 8-9: first run faults the pooled TPAQ tables (~800 MB at
-        # TPAQX sizes) once per process; report the steady state
-        enc, dec, sz = bench_level(d, lv, repeat=2 if lv >= 5 else 1)
+    # Anchor levels FIRST (VERDICT r4, next #4): the bandwidth-bound levels
+    # 0-4 calibrate this run's ambient window against the pinned good-window
+    # record BEFORE the contested medians run, so the gate below can act on
+    # it (BENCH_r04.json was captured at anchor 0.601 and read below-bar
+    # with nothing in the record to defend the estimate).
+    for lv in (0, 2, 3, 4):
+        enc, dec, sz = bench_level(slice16, lv, repeat=1)
         detail["levels"][str(lv)] = {
             "enc_gbps": round(enc / 1e9, 4), "dec_gbps": round(dec / 1e9, 4),
-            "ratio": round(sz / len(d), 4)}
+            "ratio": round(sz / len(slice16), 4)}
+    pre = [v for lv, (pe, pd) in R03_WINDOW_PINS.items()
+           if lv in detail["levels"]
+           for v in (detail["levels"][lv]["enc_gbps"] / pe,
+                     detail["levels"][lv]["dec_gbps"] / pd)]
+    anchor_pre = float(np.median(pre))
+
+    # Claim-bearing levels next: margins vs the reference per-core bar are a
+    # few percent and this host's good ambient windows last minutes.
+    # Interleaved median-of-N with min/max spread after warmup (VERDICT r3,
+    # weak #2); 7 rounds so a single ambient spike cannot drag the median.
+    # Extra keys go AFTER ratio so tail-parsing regexes keep matching.
+    MED_RUNS = 7
+
+    def fmt_rows(med, runs, anchor):
+        rows = {}
+        for lv in (5, 6, 7):
+            e_med, d_med, e_sp, d_sp, sz = med[lv]
+            rows[str(lv)] = {
+                "enc_gbps": round(e_med / 1e9, 4),
+                "dec_gbps": round(d_med / 1e9, 4),
+                "ratio": round(sz / len(slice16), 4),
+                "enc_spread_gbps": [round(e_sp[0] / 1e9, 4),
+                                    round(e_sp[1] / 1e9, 4)],
+                "dec_spread_gbps": [round(d_sp[0] / 1e9, 4),
+                                    round(d_sp[1] / 1e9, 4)],
+                "stat": f"median-of-{runs}",
+                "window_anchor": round(anchor, 3)}
+        return rows
+
+    med = bench_levels_median(slice16, (5, 6, 7), runs=MED_RUNS)
+    pass1 = fmt_rows(med, MED_RUNS, anchor_pre)
+    if anchor_pre >= 0.85:
+        detail["levels"].update(pass1)
+    else:
+        # Anchor gate (VERDICT r4, next #4): contested window — re-run the
+        # L5-7 medians with doubled samples, probe the window again, and
+        # publish the pass from the better independently-measured window.
+        # BOTH passes stay in the record.
+        anchor_mid = _mini_anchor(slice16)
+        med2 = bench_levels_median(slice16, (5, 6, 7), runs=2 * MED_RUNS)
+        pass2 = fmt_rows(med2, 2 * MED_RUNS, anchor_mid)
+        best, other, tag = (pass2, pass1, "pass1") \
+            if anchor_mid >= anchor_pre else (pass1, pass2, "pass2")
+        detail["levels"].update(best)
+        detail["levels_contested_retry"] = {
+            "note": (f"anchor gate fired (pre-anchor {anchor_pre:.3f} < "
+                     f"0.85): L5-7 re-run at median-of-{2 * MED_RUNS}; "
+                     f"published rows are the higher-anchor pass, {tag} is "
+                     "the other"),
+            tag: other}
+
+    for lv in (8, 9):
+        # levels 8-9: first run faults the pooled TPAQ tables (~800 MB at
+        # TPAQX sizes) once per process; report the steady state
+        enc, dec, sz = bench_level(slice4, lv, repeat=2)
+        detail["levels"][str(lv)] = {
+            "enc_gbps": round(enc / 1e9, 4), "dec_gbps": round(dec / 1e9, 4),
+            "ratio": round(sz / len(slice4), 4)}
     # Hard slice: silesia-difficulty corpus for honest L8/9 ratio margins
     # (the main corpus flatters high-order models; VERDICT r3, weak #6).
     hard = synth_hard_corpus(4 << 20)
@@ -567,6 +622,13 @@ def main():
                       "ambient_window": detail["ambient_window"]}),
           file=sys.stderr, flush=True)
 
+    tail = {"levels": detail["levels"],
+            "levels_hard": detail["levels_hard"],
+            "reference_per_core": detail["reference_per_core"],
+            "ambient_window": detail["ambient_window"]}
+    if "levels_contested_retry" in detail:
+        tail["levels_contested_retry"] = detail["levels_contested_retry"]
+
     def gbps_or_null(v):
         return None if v is None else round(v / 1e9, 4)
 
@@ -582,11 +644,7 @@ def main():
         # matrix must be the LAST stderr line (see the comment at the end
         # of main — the long detail line's head gets truncated out of the
         # driver record)
-        print(json.dumps({"levels": detail["levels"],
-                          "levels_hard": detail["levels_hard"],
-                          "reference_per_core": detail["reference_per_core"],
-                          "ambient_window": detail["ambient_window"],
-                          "device": detail["device"]}),
+        print(json.dumps({**tail, "device": detail["device"]}),
               file=sys.stderr, flush=True)
         return
 
@@ -638,11 +696,7 @@ def main():
     # records only the tail of combined output, and the full detail line
     # above is long enough that its head (level 1!) was truncated out of
     # BENCH_r02.json.  tools/gen_readme_perf.py parses this from the tail.
-    print(json.dumps({"levels": detail["levels"],
-                      "levels_hard": detail["levels_hard"],
-                      "reference_per_core": detail["reference_per_core"],
-                      "ambient_window": detail["ambient_window"]}),
-          file=sys.stderr, flush=True)
+    print(json.dumps(tail), file=sys.stderr, flush=True)
 
 
 def bench_codecs(size: int = 2 << 20):
