@@ -359,19 +359,16 @@ def _decompress_one(a: _Args, in_path: str, out_path: str, listener) -> int:
     return 0
 
 
-def _info_one(a: _Args, in_path: str) -> int:
-    # streaming source: only the header bytes are read
+def _info_one(a: _Args, in_path: str, printer) -> int:
+    # streaming source: only the header bytes are read; the listener
+    # receives AFTER_HEADER_DECODING with the parsed HeaderInfo and
+    # renders the table row (reference: InfoPrinter INFO mode)
     with open(in_path, "rb") as f:
-        r = Reader(f, ctx={"from": 1, "to": 1})
+        r = Reader(f, ctx={"from": 1, "to": 1,
+                           "inputName": in_path,
+                           "fileSize": os.path.getsize(in_path)})
+        r.listeners.append(printer)
         r._read_header()
-    from .. import entropy as em, transforms as tm
-    print(f"{in_path}:")
-    print(f"  bitstream version: {r.ctx.get('bsVersion')}")
-    print(f"  block size: {r.block_size}")
-    print(f"  entropy: {em.get_name(r.entropy_type)}")
-    print(f"  transforms: {tm.get_name(r.transform_type)}")
-    print(f"  block checksum: {r.checksum_bits or 'none'} ")
-    print(f"  original size: {r.outputSize if r.outputSize else 'unknown'}")
     return 0
 
 
@@ -395,16 +392,23 @@ def main(argv: list[str] | None = None) -> int:
         a.jobs = max((os.cpu_count() or 1) // 2, 1)
     a.jobs = min(a.jobs, 64)
 
-    listener = InfoPrinter(a.verbose, EventType.COMPRESSION_START) \
+    from .infoprinter import COMPRESSION, DECOMPRESSION, INFO
+    listener = InfoPrinter(
+        a.verbose,
+        COMPRESSION if a.mode == "c" else DECOMPRESSION) \
         if a.verbose >= 4 else None
 
     if a.mode == "y":
         if not a.input_name:
             print("Missing input file name", file=sys.stderr)
             return ERR_MISSING_PARAM
+        # one shared INFO printer renders the -y header table through the
+        # listener surface (reference: InfoPrinter type INFO,
+        # v2/app/InfoPrinter.go:311-407); column-title row prints once.
+        printer = InfoPrinter(max(a.verbose, 1), INFO, out=sys.stdout)
         res = 0
         for f in _collect_files(a.input_name, a.no_dot_files, a.no_links):
-            res = res or _info_one(a, f)
+            res = res or _info_one(a, f, printer)
         return res
 
     if not a.input_name and not a.output_name:

@@ -62,13 +62,35 @@ class HashType(enum.IntEnum):
     SIZE_64 = 2
 
 
+class HeaderInfo:
+    """Parsed stream-header facts carried by an AFTER_HEADER_DECODING event
+    (reference: v2/Event.go HeaderInfo / NewEventFromHeaderInfo). Sizes are
+    -1 when unknown (headerless / streaming input)."""
+
+    __slots__ = ("bs_version", "checksum_size", "block_size", "entropy_type",
+                 "transform_type", "original_size", "file_size", "input_name")
+
+    def __init__(self, bs_version=0, checksum_size=0, block_size=0,
+                 entropy_type="", transform_type="", original_size=-1,
+                 file_size=-1, input_name=""):
+        self.bs_version = bs_version
+        self.checksum_size = checksum_size
+        self.block_size = block_size
+        self.entropy_type = entropy_type
+        self.transform_type = transform_type
+        self.original_size = original_size
+        self.file_size = file_size
+        self.input_name = input_name
+
+
 class Event:
     """Progress event emitted by the stream container (reference: v2/Event.go:62-204)."""
 
-    __slots__ = ("type", "block_id", "size", "hash", "hash_type", "time", "msg")
+    __slots__ = ("type", "block_id", "size", "hash", "hash_type", "time",
+                 "msg", "info")
 
     def __init__(self, evt_type, block_id, size=0, hash_=0,
-                 hash_type=HashType.NONE, time_=0.0, msg=None):
+                 hash_type=HashType.NONE, time_=0.0, msg=None, info=None):
         self.type = EventType(evt_type)
         self.block_id = block_id
         self.size = size
@@ -76,6 +98,7 @@ class Event:
         self.hash_type = HashType(hash_type)
         self.time = time_
         self.msg = msg
+        self.info = info
 
     def __str__(self):
         if self.msg is not None:

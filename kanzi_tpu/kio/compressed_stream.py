@@ -826,6 +826,7 @@ class Reader:
             br.read_bits(4)
 
         if self.listeners:
+            from ..core import HeaderInfo
             _notify(self.listeners, Event(
                 EventType.AFTER_HEADER_DECODING, 0, self.block_size, 0,
                 HashType.NONE, time.time(),
@@ -834,7 +835,16 @@ class Reader:
                     f' "entropy":"{self.ctx["entropy"]}",'
                     f' "transform":"{self.ctx["transform"]}",'
                     f' "checksum":{self.checksum_bits},'
-                    f' "outputSize":{self.outputSize} }}'))
+                    f' "outputSize":{self.outputSize} }}',
+                info=HeaderInfo(
+                    bs_version=bs_version,
+                    checksum_size=self.checksum_bits,
+                    block_size=self.block_size,
+                    entropy_type=self.ctx["entropy"],
+                    transform_type=self.ctx["transform"],
+                    original_size=self.outputSize if self.outputSize else -1,
+                    file_size=self.ctx.get("fileSize", -1),
+                    input_name=self.ctx.get("inputName", ""))))
 
     def _ensure_outbuf(self, nbytes: int) -> None:
         if self._outbuf is None:

@@ -165,11 +165,13 @@ def test_cli_info_mode(tmp_path):
     knz = tmp_path / "in.knz"
     _run_cli(["-c", "-i", str(src), "-o", str(knz), "-l", "3", "-f",
               "-x64", "-v", "0"])
-    res = _run_cli(["-y", "-i", str(knz)])
+    res = _run_cli(["-y", "-i", str(knz), "-v", "4"])
     assert res.returncode == 0, res.stderr
     text = res.stdout.decode() + res.stderr.decode()
-    assert "bitstream version" in text and "HUFFMAN" in text
-    assert "64" in text  # checksum size
+    # reference INFO table (v2/app/InfoPrinter.go:311-407)
+    assert "|     File Name      |Ver|Check|Block Size" in text
+    assert "HUFFMAN" in text
+    assert "|   64|" in text  # checksum column
 
 
 def test_cli_rm_flag(tmp_path):

@@ -274,8 +274,10 @@ def test_legacy_stream_info_mode(tmp_path):
     p = tmp_path / "legacy.knz"
     p.write_bytes(blob)
     res = subprocess.run([_s.executable, "-m", "kanzi_tpu.app",
-                          "-y", "-i", str(p)],
+                          "-y", "-i", str(p), "-v", "4"],
                          capture_output=True, text=True)
     assert res.returncode == 0, res.stderr
-    assert "3" in res.stdout  # bitstream version
+    # reference INFO table row: Ver column shows the legacy version and the
+    # v>=4 columns carry the entropy name
+    assert "|  3|" in res.stdout
     assert "ANS0" in res.stdout
