@@ -55,7 +55,7 @@ namespace {
 constexpr int SAIS_PREFETCH = 16;
 
 struct SaisScratch {
-    std::vector<i32> s1, sa1, lms, counts, buckets;
+    std::vector<i32> s1, sa1, lms, collect, counts, buckets;
     std::vector<u16> st16;
     std::vector<u32> st32;
 };
@@ -114,7 +114,16 @@ void saisCore(const ST* st, i32* SA, i32 n, i32 K, int depth) {
         }
     };
 
-    auto induce = [&]() {
+    // `collect`: when non-null, the S-type pass also gathers the sorted LMS
+    // positions (ascending SA order into collect[0..m)), replacing the
+    // separate full-array collect scan stage 1 used to run afterwards.
+    // Safe because of the SA-IS single-pass invariant (Nong et al. §3: every
+    // entry is induced strictly below the scan cursor and each slot is
+    // written at most once, so the value the right-to-left cursor reads at
+    // SA[i] is the pass's final value at i). The LMS test only adds a load
+    // of st[j] — adjacent to the st[j-1] the induce already pulls, so it is
+    // almost always the same cache line.
+    auto induce = [&](i32* collect) {
         // L-type left-to-right (split so the hot loop has no prefetch
         // bounds check; writes only ever land at indices >= i, so the split
         // point does not change what the tail loop observes)
@@ -138,51 +147,74 @@ void saisCore(const ST* st, i32* SA, i32 n, i32 K, int depth) {
         }
         // S-type right-to-left
         bucketEnds();
-        for (i32 i = n - 1; i >= SAIS_PREFETCH; i--) {
-            i32 jp = SA[i - SAIS_PREFETCH];
-            __builtin_prefetch(&st[(jp > 0 ? jp : 1) - 1]);
-            i32 j = SA[i];
-            if (j > 0) {
-                ST prev = st[j - 1];
-                if (prev & 1) SA[--buckets[prev >> 1]] = j - 1;
+        i32 cnt = m;
+        if (collect == nullptr) {
+            for (i32 i = n - 1; i >= SAIS_PREFETCH; i--) {
+                i32 jp = SA[i - SAIS_PREFETCH];
+                __builtin_prefetch(&st[(jp > 0 ? jp : 1) - 1]);
+                i32 j = SA[i];
+                if (j > 0) {
+                    ST prev = st[j - 1];
+                    if (prev & 1) SA[--buckets[prev >> 1]] = j - 1;
+                }
+            }
+            for (i32 i = (SAIS_PREFETCH < n ? SAIS_PREFETCH : n) - 1; i >= 0;
+                 i--) {
+                i32 j = SA[i];
+                if (j > 0) {
+                    ST prev = st[j - 1];
+                    if (prev & 1) SA[--buckets[prev >> 1]] = j - 1;
+                }
+            }
+        } else {
+            for (i32 i = n - 1; i >= SAIS_PREFETCH; i--) {
+                i32 jp = SA[i - SAIS_PREFETCH];
+                __builtin_prefetch(&st[(jp > 0 ? jp : 1) - 1]);
+                i32 j = SA[i];
+                if (j > 0) {
+                    ST prev = st[j - 1];
+                    if (prev & 1) {
+                        SA[--buckets[prev >> 1]] = j - 1;
+                    } else if (st[j] & 1) {
+                        collect[--cnt] = j;  // LMS: S with L predecessor
+                    }
+                }
+            }
+            for (i32 i = (SAIS_PREFETCH < n ? SAIS_PREFETCH : n) - 1; i >= 0;
+                 i--) {
+                i32 j = SA[i];
+                if (j > 0) {
+                    ST prev = st[j - 1];
+                    if (prev & 1) {
+                        SA[--buckets[prev >> 1]] = j - 1;
+                    } else if (st[j] & 1) {
+                        collect[--cnt] = j;
+                    }
+                }
             }
         }
-        for (i32 i = (SAIS_PREFETCH < n ? SAIS_PREFETCH : n) - 1; i >= 0; i--) {
-            i32 j = SA[i];
-            if (j > 0) {
-                ST prev = st[j - 1];
-                if (prev & 1) SA[--buckets[prev >> 1]] = j - 1;
-            }
-        }
+        return cnt;
     };
 
     // Stage 1: place LMS suffixes at bucket ends (descending text order,
-    // straight from the fused-pass buffer), induce-sort the LMS substrings
+    // straight from the fused-pass buffer; prefetched — st[lms[i]] is a
+    // random gather and lms is sequential, so the future element's address
+    // is free), induce-sort the LMS substrings. The S-type pass collects
+    // the sorted LMS positions as it goes (see `induce`), which replaces
+    // the full-array collect scan this stage used to pay afterwards.
     std::fill(SA, SA + n, -1);
     bucketEnds();
-    for (i32 i = m - 1; i >= 0; i--) {
+    i32* sorted_lms = hugePoolGrow(S.collect, (size_t)m + 1);
+    for (i32 i = m - 1; i >= SAIS_PREFETCH; i--) {
+        __builtin_prefetch(&st[lms[i - SAIS_PREFETCH]]);
         i32 j = lms[i];
         SA[--buckets[st[j] >> 1]] = j;
     }
-    induce();
-
-    // Collect sorted LMS positions (prefetched: the isLMS test is a random
-    // 2-element st gather per entry, same latency profile as the induces —
-    // measured +3-10% on the whole sort)
-    i32 mm = 0;
-    {
-        i32 lim = n - SAIS_PREFETCH > 0 ? n - SAIS_PREFETCH : 0;
-        for (i32 i = 0; i < lim; i++) {
-            i32 jp = SA[i + SAIS_PREFETCH];
-            __builtin_prefetch(&st[jp > 0 ? jp : 0]);
-            i32 j = SA[i];
-            if (j > 0 && (st[j] & 1) && !(st[j - 1] & 1)) SA[mm++] = j;
-        }
-        for (i32 i = lim; i < n; i++) {
-            i32 j = SA[i];
-            if (j > 0 && (st[j] & 1) && !(st[j - 1] & 1)) SA[mm++] = j;
-        }
+    for (i32 i = (SAIS_PREFETCH < m ? SAIS_PREFETCH : m) - 1; i >= 0; i--) {
+        i32 j = lms[i];
+        SA[--buckets[st[j] >> 1]] = j;
     }
+    i32 mm = induce(sorted_lms);
 
     // Name LMS substrings in SA[m..] (ceil(n/2) slots suffice); two LMS
     // substrings get the same name iff symbols AND types match throughout,
@@ -196,7 +228,7 @@ void saisCore(const ST* st, i32* SA, i32 n, i32 K, int depth) {
     };
     i32 name = 0, prev = -1;
     for (i32 i = 0; i < m; i++) {
-        i32 pos = SA[i];
+        i32 pos = sorted_lms[i];
         bool diff = false;
         if (prev < 0) {
             diff = true;
@@ -260,14 +292,25 @@ void saisCore(const ST* st, i32* SA, i32 n, i32 K, int depth) {
     }
 
     // Stage 3: place fully sorted LMS suffixes (text positions via the
-    // fused-pass buffer), induce the final SA
+    // fused-pass buffer), induce the final SA. Software-pipelined
+    // prefetch: SA1 reads sequentially, lms[SA1[i]] is the first random
+    // gather and st[lms[SA1[i]]] the second — prefetch lms two steps out
+    // and st one step out (the lms element prefetched earlier is in cache
+    // by then, so loading it to form the st address is cheap).
     std::fill(SA, SA + n, -1);
     bucketEnds();
-    for (i32 i = m - 1; i >= 0; i--) {
+    for (i32 i = m - 1; i >= 2 * SAIS_PREFETCH; i--) {
+        __builtin_prefetch(&lms[SA1[i - 2 * SAIS_PREFETCH]]);
+        __builtin_prefetch(&st[lms[SA1[i - SAIS_PREFETCH]]]);
         i32 j = lms[SA1[i]];
         SA[--buckets[st[j] >> 1]] = j;
     }
-    induce();
+    for (i32 i = (2 * SAIS_PREFETCH < m ? 2 * SAIS_PREFETCH : m) - 1; i >= 0;
+         i--) {
+        i32 j = lms[SA1[i]];
+        SA[--buckets[st[j] >> 1]] = j;
+    }
+    induce(nullptr);
     (void)mm;
 }
 
