@@ -150,6 +150,13 @@ class DebugBitWriter:
     def written(self) -> int:
         return self._d.written
 
+    @property
+    def _chunks(self):
+        # container-internal drain hook: expose the delegate's completed
+        # chunks so an injected debug stream is a drop-in Writer bitstream
+        # (Writer(obs=...), reference NewWriterWithCtx2)
+        return self._d._chunks
+
     def write_bit(self, bit: int) -> None:
         self._show(bit & 1, 1)
         self._d.write_bit(bit)
@@ -208,6 +215,17 @@ class DebugBitReader:
     @property
     def read(self) -> int:
         return self._d.read
+
+    @property
+    def _pos(self) -> int:
+        # container-internal cursor passthrough so an injected debug stream
+        # is a drop-in Reader bitstream (Reader(ibs=...), reference
+        # NewReaderWithCtx2)
+        return self._d._pos
+
+    @_pos.setter
+    def _pos(self, v: int) -> None:
+        self._d._pos = v
 
     def has_more(self) -> bool:
         return self._d.has_more()

@@ -222,7 +222,8 @@ class Writer:
     def __init__(self, output, transform: str = "NONE", entropy: str = "NONE",
                  block_size: int = 4 * 1024 * 1024, jobs: int = 1,
                  checksum: int = 0, file_size: int = 0,
-                 headerless: bool = False, ctx: dict | None = None):
+                 headerless: bool = False, ctx: dict | None = None,
+                 obs=None):
         self.ctx = dict(ctx) if ctx else {}
         self.ctx.setdefault("entropy", entropy)
         self.ctx.setdefault("transform", transform)
@@ -270,7 +271,13 @@ class Writer:
         self.ctx["bsVersion"] = BITSTREAM_FORMAT_VERSION
 
         self._os = output
-        self._bw = BitWriter()
+        # custom output bitstream injection (reference NewWriterWithCtx2,
+        # v2/io/CompressedStream.go:254): when `obs` is given, every
+        # container bit routes through it — e.g. a DebugBitWriter wrapping
+        # a BitWriter — and the native one-shot splice is bypassed so the
+        # injected stream observes the real bit sequence.
+        self._obs_injected = obs is not None
+        self._bw = obs if obs is not None else BitWriter()
         self._pending = bytearray()
         self._block_id = 0
         self._initialized = False
@@ -280,7 +287,7 @@ class Writer:
         self._pool = ThreadPoolExecutor(max_workers=jobs) if jobs > 1 else None
         # native fast path: the stream lives in a pooled numpy buffer and
         # every block is one C++ call (encode) + one C++ call (frame splice)
-        self._use_native = native.available()
+        self._use_native = native.available() and not self._obs_injected
         self._stream: np.ndarray | None = None
         self._scratch: np.ndarray | None = None
         self._bitpos = 0        # bit position within self._stream
@@ -565,6 +572,8 @@ class Writer:
                 self._stream[0] = self._stream[nbytes]
                 self._bitpos &= 7
             return
+        if self._os is None:
+            return  # injected-obs mode: the obs owns the bytes
         # Drain incrementally: advance the cursor only after each write
         # succeeded, so a retried close() after a transient sink failure
         # resumes at the first unwritten chunk instead of duplicating
@@ -639,7 +648,14 @@ class Reader:
     _COMPACT = 32 << 20     # drop consumed source bytes past this point
 
     def __init__(self, source, jobs: int = 1, headerless: bool = False,
-                 ctx: dict | None = None):
+                 ctx: dict | None = None, ibs=None):
+        # custom input bitstream injection (reference NewReaderWithCtx2,
+        # v2/io/CompressedStream.go:1098): `ibs` is a wrapper callable
+        # receiving the container's internal bit reader and returning the
+        # reader to use — DebugBitReader fits directly
+        # (Reader(blob, ibs=lambda br: DebugBitReader(br))). Forces the
+        # Python bit path so the wrapper observes every container read.
+        self._ibs_wrap = ibs
         self._fh = None
         if hasattr(source, "read"):
             self._fh = source
@@ -649,7 +665,7 @@ class Reader:
             self._srcbuf = np.frombuffer(source, dtype=np.uint8)
             self._src_len = len(self._srcbuf)
         self._rebind(0)
-        self._use_native = native.available()
+        self._use_native = native.available() and ibs is None
         self._fast: bool | None = None
         self._outbuf: np.ndarray | None = None
         self._outbuf_len = 0
@@ -687,6 +703,8 @@ class Reader:
         self._src = self._srcbuf[:self._src_len]
         self._br = BitReader(self._src)
         self._br._pos = bitpos
+        if self._ibs_wrap is not None:
+            self._br = self._ibs_wrap(self._br)
 
     def _ensure_bits(self, end_bits: int) -> None:
         """Best-effort fill of the source buffer up to `end_bits`."""

@@ -121,3 +121,40 @@ def test_interleaved_arrays_and_bits():
             if n % 8:
                 want[-1] &= (0xFF << (8 - n % 8)) & 0xFF
             assert got == bytes(want)
+
+
+def test_custom_bitstream_injection_container():
+    """Custom bitstream objects injectable into the container (reference
+    NewWriterWithCtx2/NewReaderWithCtx2, v2/io/CompressedStream.go:254,
+    1098): a DebugBitWriter-wrapped stream must receive every container
+    bit and produce a byte-identical stream; a DebugBitReader wrapper must
+    observe every read of a full decode."""
+    import io
+
+    import kanzi_tpu
+    from kanzi_tpu.bitstream import BitWriter, DebugBitWriter, DebugBitReader
+    from kanzi_tpu.kio import Reader, Writer
+
+    data = (b"custom bitstream injection " * 400)[:9000]
+    ref = kanzi_tpu.compress(data, transform="LZ", entropy="HUFFMAN",
+                             block_size=4096, checksum=32)
+
+    log = io.StringIO()
+    obs = DebugBitWriter(BitWriter(), out=log, hexa=True)
+    w = Writer(None, transform="LZ", entropy="HUFFMAN", block_size=4096,
+               checksum=32, file_size=len(data), obs=obs)
+    w.write(data)
+    w.close()
+    assert obs.getvalue() == ref
+    assert len(log.getvalue()) > 100  # the wrapper saw the bits
+
+    rlog = io.StringIO()
+    r = Reader(ref, ibs=lambda br: DebugBitReader(br, out=rlog, hexa=True))
+    out = bytearray()
+    while True:
+        c = r.read(1 << 16)
+        if not c:
+            break
+        out += c
+    assert bytes(out) == data
+    assert len(rlog.getvalue()) > 100
