@@ -367,7 +367,8 @@ def _info_one(a: _Args, in_path: str, printer) -> int:
         r = Reader(f, ctx={"from": 1, "to": 1,
                            "inputName": in_path,
                            "fileSize": os.path.getsize(in_path)})
-        r.listeners.append(printer)
+        if printer is not None:
+            r.listeners.append(printer)
         r._read_header()
     return 0
 
@@ -393,10 +394,16 @@ def main(argv: list[str] | None = None) -> int:
     a.jobs = min(a.jobs, 64)
 
     from .infoprinter import COMPRESSION, DECOMPRESSION, INFO
-    listener = InfoPrinter(
-        a.verbose,
-        COMPRESSION if a.mode == "c" else DECOMPRESSION) \
-        if a.verbose >= 4 else None
+    # reference attach conditions: verbosity > 2 for c/d
+    # (BlockCompressor.go:439, BlockDecompressor.go:332) with
+    # firstBlockId = --from on decompression (BlockDecompressor.go:339-345)
+    listener = None
+    if a.verbose > 2:
+        if a.mode == "c":
+            listener = InfoPrinter(a.verbose, COMPRESSION)
+        else:
+            listener = InfoPrinter(a.verbose, DECOMPRESSION,
+                                   first_block_id=a.block_from or 1)
 
     if a.mode == "y":
         if not a.input_name:
@@ -405,8 +412,11 @@ def main(argv: list[str] | None = None) -> int:
         # one shared INFO printer renders the -y header table through the
         # listener surface (reference: InfoPrinter type INFO,
         # v2/app/InfoPrinter.go:311-407); column-title row prints once.
-        printer = InfoPrinter(max(a.verbose, 1), INFO, out=sys.stdout)
+        # INFO mode requires verbosity > 0 (BlockDecompressor.go:332):
+        # -y -v 0 prints nothing, like the reference.
         res = 0
+        printer = InfoPrinter(a.verbose, INFO, out=sys.stdout) \
+            if a.verbose > 0 else None
         for f in _collect_files(a.input_name, a.no_dot_files, a.no_links):
             res = res or _info_one(a, f, printer)
         return res

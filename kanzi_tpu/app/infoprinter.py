@@ -7,9 +7,11 @@ Behavioral parity with the reference listener (v2/app/InfoPrinter.go:54-425):
   before/after entropy) into the v>=4 line
   ``Block N: s0 => s1 [d1 ms] => s2 [d2 ms]`` with the compression-only
   integer ``(P%)`` ratio and the optional ``  [hash]`` suffix;
-- the ordered phase (AFTER_ENTROPY when compressing, BEFORE_TRANSFORM when
-  decompressing — the phases concurrent workers complete out of order) is
-  held in a pending map and emitted strictly in block-id order;
+- the ordered phase (AFTER_ENTROPY when compressing, BEFORE_ENTROPY when
+  decompressing — per the constructor InfoPrinter.go:93-102; the in-code
+  Go comment at :144-145 says BEFORE_TRANSFORM but the code sets
+  BEFORE_ENTROPY, and the code wins) is held in a pending map and emitted
+  strictly in block-id order;
 - v>=5 prints every event, with ``[d ms]`` stage-duration suffixes on the
   threshold events;
 - AFTER_HEADER_DECODING prints the raw-text header block at v in [3,5) and
@@ -74,7 +76,7 @@ class InfoPrinter(Listener):
                 EventType.DECOMPRESSION_START, EventType.BEFORE_ENTROPY,
                 EventType.AFTER_ENTROPY, EventType.BEFORE_TRANSFORM,
                 EventType.AFTER_TRANSFORM, EventType.DECOMPRESSION_END)
-            self.ordered_phase = EventType.BEFORE_TRANSFORM
+            self.ordered_phase = EventType.BEFORE_ENTROPY
         self._lock = threading.Lock()
         self._infos: dict[int, _BlockInfo] = {}
         self._ordered_pending: dict[int, Event] = {}

@@ -19,6 +19,12 @@ from ..ops import huffman as ops_huffman
 from ..ops import histogram as ops_histogram
 
 
+class NoDeviceEngine(RuntimeError):
+    """No device entropy kernel exists for the requested entropy type
+    (NONE and the bit-serial binary context models run host-side by
+    design — see the device ledger in docs/ARCHITECTURE.md)."""
+
+
 def compress_multiproc(*args, **kwargs):
     """Multi-process block compression (see parallel.multiproc)."""
     from .multiproc import compress_multiproc as _impl
@@ -138,7 +144,8 @@ def mesh_writer(mesh: Mesh, **writer_kwargs):
     w = Writer(None, ctx=ctx, **writer_kwargs)
     eng = w._dev_engine
     if eng is None:
-        raise RuntimeError("device engine unavailable for this entropy type")
+        raise NoDeviceEngine(
+            "device engine unavailable for this entropy type")
     n_dev = int(mesh.devices.size)
 
     if hasattr(eng, "_pack"):       # Huffman: lanes shard
@@ -259,12 +266,15 @@ def compress_multichip(data, mesh: Mesh, transform: str = "LZ",
     TPAQ/TPAQX/CM/FPAQ — measured net-negative on device, see
     docs/ARCHITECTURE.md device ledger) map to the block axis instead:
     one worker per mesh device runs the host engine, blocks splice in
-    order (the reference's P1+P2, v2/io/CompressedStream.go:658-698)."""
+    order (the reference's P1+P2, v2/io/CompressedStream.go:658-698).
+    Only that specific signal falls back — real device/mesh failures
+    (backend init, sharding errors) propagate so tests cannot silently
+    certify a host-only run as a mesh run."""
     try:
         w = mesh_writer(mesh, transform=transform, entropy=entropy,
                         block_size=block_size, checksum=checksum,
                         file_size=len(data), **writer_kwargs)
-    except RuntimeError:
+    except NoDeviceEngine:
         from ..kio import Writer
         w = Writer(None, transform=transform, entropy=entropy,
                    block_size=block_size, checksum=checksum,

@@ -71,28 +71,17 @@ def _fuzz_body():
     for chain, entropy, bs, kind, size, seed in KNOWN_CRASHERS:
         one(chain, entropy, bs, kind, size, seed)
 
-    # 2. every committed container regression through the C one-shot
+    # 2. every committed container regression through the C one-shot.
+    # Container entries only record the case seed; the full config is
+    # re-drawn by the SAME helper the fuzzer uses, so the two can never
+    # desynchronize.
+    from test_random_differential import _draw_container_config
     if os.path.exists(REGRESSIONS):
         for e in json.load(open(REGRESSIONS)):
             if e["type"] != "container":
                 continue
-            # container entries only record the case seed; the full config
-            # is re-drawn exactly as _check_container does
-            rng = np.random.default_rng(e["seed"])
-            names = ["BWT", "BWTS", "LZ", "LZX", "LZP", "ROLZ", "ROLZX",
-                     "RLT", "ZRLT", "MTFT", "RANK", "SRT", "TEXT", "UTF",
-                     "PACK", "DNA", "MM", "EXE", "NONE"]
-            chain = "+".join(names[i] for i in
-                             rng.choice(len(names), int(rng.integers(1, 9))))
-            entropy = ["NONE", "HUFFMAN", "ANS0", "ANS1", "RANGE", "FPAQ",
-                       "CM"][int(rng.integers(0, 7))]
-            block_size = int(rng.choice([1024, 16384, 65536, 262144])) + \
-                16 * int(rng.integers(0, 4))
-            checksum = int(rng.choice([0, 32, 64]))
-            headerless = bool(rng.integers(0, 2))
-            kind = list(GENERATORS)[int(rng.integers(0, len(GENERATORS)))]
-            size = int(rng.integers(1, 200000))
-            data = GENERATORS[kind](rng, size)
+            (chain, entropy, block_size, checksum, headerless, kind, size,
+             data) = _draw_container_config(e["seed"])
             cchain, cet = kt.get_type(chain), ke.get_type(entropy)
             cctx = {"bsVersion": 6, "jobs": 1, "blockSize": block_size,
                     "entropy": entropy}

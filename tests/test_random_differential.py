@@ -312,6 +312,7 @@ def test_committed_regressions():
     entries = json.load(open(REGRESSIONS))
     if not entries:
         pytest.skip("no recorded regressions")
+    container_seeds = []
     for e in entries:
         if e["type"] == "entropy":
             _check_entropy(e["codec"], e["kind"], e["size"], e["seed"])
@@ -320,9 +321,11 @@ def test_committed_regressions():
         elif e["type"] == "legacy":
             _check_legacy(e["codec"], e["kind"], e["size"], e["seed"])
         elif e["type"] == "container":
-            _check_container(e["seed"])
+            container_seeds.append(e["seed"])
         else:
             _check_transform(e["codec"], e["kind"], e["size"], e["seed"])
+    if container_seeds:
+        _check_container_batch(container_seeds)
 
 
 # ---------------------------------------------------------------------------
@@ -439,10 +442,11 @@ def _check_rolz_exe(name: str, kind: str, size: int, seed: int):
         raise
 
 
-def _draw_container_config(seed: int):
+def _draw_container_config(seed: int, with_data: bool = True):
     """The config draw for a container case, separated so the parent
     process can describe a case (for regression entries) without running
-    any native code."""
+    any native code. with_data=False skips generating the input buffer
+    (the draws before it are unaffected)."""
     rng = np.random.default_rng(seed)
     names = ["BWT", "BWTS", "LZ", "LZX", "LZP", "ROLZ", "ROLZX", "RLT",
              "ZRLT", "MTFT", "RANK", "SRT", "TEXT", "UTF", "PACK", "DNA",
@@ -457,37 +461,50 @@ def _draw_container_config(seed: int):
     headerless = bool(rng.integers(0, 2))
     kind = list(GENERATORS)[int(rng.integers(0, len(GENERATORS)))]
     size = int(rng.integers(1, 200000))
-    data = GENERATORS[kind](rng, size)
+    data = GENERATORS[kind](rng, size) if with_data else None
     return chain, entropy, block_size, checksum, headerless, kind, size, data
 
 
 def _check_container(seed: int):
-    """Random container config x random data roundtrip, isolated in a
-    SUBPROCESS: the case includes native one-shot triangulation, and a
-    native crash must fail one test with a reproducible seed instead of
-    killing pytest (round-4 review lost its crash seed to exactly that).
-    The descriptor is journaled to LAST_CASE before anything executes."""
-    (chain, entropy, block_size, checksum, headerless, kind, size,
-     _data) = _draw_container_config(seed)
-    entry = {"type": "container", "codec": chain, "kind": kind,
-             "size": size, "seed": seed}
-    _pre_draw(entry)
+    _check_container_batch([seed])
+
+
+def _check_container_batch(seeds) -> None:
+    """Random container config x random data roundtrips, isolated in ONE
+    subprocess for the whole batch: the cases include native one-shot
+    triangulation, and a native crash must fail the test with a
+    reproducible seed instead of killing pytest (round-4 review lost its
+    crash seed to exactly that). The child journals each case descriptor
+    to LAST_CASE before executing it and prints `CASE-OK <seed>` after,
+    so a dead child pinpoints the failing case without per-case
+    interpreter spawns."""
+    seeds = list(seeds)
     env = dict(os.environ)
-    env.update({"PYTHONPATH": REPO, "JAX_PLATFORMS": "cpu"})
+    env.update({"PYTHONPATH": REPO, "JAX_PLATFORMS": "cpu",
+                # the child journals LAST_CASE; give it the parent's base
+                # seed so the journal reproduces this exact session
+                "KANZI_FUZZ_SEED": str(BASE_SEED)})
     r = subprocess.run(
         [sys.executable, os.path.abspath(__file__),
-         "--container-case", str(seed)],
-        capture_output=True, text=True, env=env, timeout=600)
-    if r.returncode != 0 or "CASE-OK" not in r.stdout:
-        if not env.get("KANZI_FUZZ_INJECT_SEGV"):
-            _record_failure(entry)
-        sig = f" (signal {-r.returncode})" if r.returncode < 0 else ""
-        raise AssertionError(
-            f"container fuzz failure: chain={chain} entropy={entropy} "
-            f"bs={block_size} cks={checksum} headerless={headerless} "
-            f"kind={kind} size={size} seed={seed} (base {BASE_SEED}): "
-            f"rc={r.returncode}{sig}\n"
-            f"stdout={r.stdout[-1500:]}\nstderr={r.stderr[-2500:]}")
+         "--container-cases", ",".join(str(s) for s in seeds)],
+        capture_output=True, text=True, env=env, timeout=1800)
+    import re
+    ok = {int(m) for m in re.findall(r"CASE-OK (\d+)", r.stdout)}
+    if r.returncode == 0 and ok.issuperset(seeds):
+        return
+    seed = next((s for s in seeds if s not in ok), seeds[-1])
+    (chain, entropy, block_size, checksum, headerless, kind, size,
+     _data) = _draw_container_config(seed, with_data=False)
+    if not env.get("KANZI_FUZZ_INJECT_SEGV"):
+        _record_failure({"type": "container", "codec": chain, "kind": kind,
+                         "size": size, "seed": seed})
+    sig = f" (signal {-r.returncode})" if r.returncode < 0 else ""
+    raise AssertionError(
+        f"container fuzz failure: chain={chain} entropy={entropy} "
+        f"bs={block_size} cks={checksum} headerless={headerless} "
+        f"kind={kind} size={size} seed={seed} (base {BASE_SEED}): "
+        f"rc={r.returncode}{sig}\n"
+        f"stdout={r.stdout[-1500:]}\nstderr={r.stderr[-2500:]}")
 
 
 def _run_container_case(seed: int):
@@ -500,10 +517,12 @@ def _run_container_case(seed: int):
 
     import kanzi_tpu
 
-    if os.environ.get("KANZI_FUZZ_INJECT_SEGV"):
-        os.kill(os.getpid(), signal.SIGSEGV)
     (chain, entropy, block_size, checksum, headerless, kind, size,
      data) = _draw_container_config(seed)
+    _pre_draw({"type": "container", "codec": chain, "kind": kind,
+               "size": size, "seed": seed})
+    if os.environ.get("KANZI_FUZZ_INJECT_SEGV"):
+        os.kill(os.getpid(), signal.SIGSEGV)
     cfg = dict(transform=chain, entropy=entropy, block_size=block_size,
                checksum=checksum, headerless=headerless)
     try:
@@ -548,7 +567,7 @@ def _run_container_case(seed: int):
             f"bs={block_size} cks={checksum} headerless={headerless} "
             f"kind={kind} size={size} seed={seed} (base {BASE_SEED}): "
             f"{type(e).__name__}: {e}") from e
-    print("CASE-OK")
+    print(f"CASE-OK {seed}", flush=True)
 
 
 def test_triangulation_crash_isolated(monkeypatch, tmp_path):
@@ -567,14 +586,13 @@ def test_triangulation_crash_isolated(monkeypatch, tmp_path):
 
 
 def test_container_random_config_quick():
-    for i in range(4):
-        _check_container(_case_seed("container", i))
+    _check_container_batch([_case_seed("container", i) for i in range(4)])
 
 
 @pytest.mark.slow
 def test_container_random_config_sweep():
-    for i in range(25):
-        _check_container(_case_seed("container-sweep", i))
+    _check_container_batch(
+        [_case_seed("container-sweep", i) for i in range(25)])
 
 
 def _check_legacy(combo: str, kind: str, size: int, seed: int):
@@ -682,6 +700,8 @@ def test_rolz_exe_random_differential(name):
 
 
 if __name__ == "__main__":
-    # isolation-subprocess entry: run one container case in-process
-    if "--container-case" in sys.argv:
-        _run_container_case(int(sys.argv[sys.argv.index("--container-case") + 1]))
+    # isolation-subprocess entry: run a batch of container cases in-process
+    if "--container-cases" in sys.argv:
+        arg = sys.argv[sys.argv.index("--container-cases") + 1]
+        for s in arg.split(","):
+            _run_container_case(int(s))
