@@ -720,6 +720,10 @@ def bench_codecs(size: int = 2 << 20):
                  "TPAQ", "TPAQX"):
         et = E.get_type(name)
         try:
+            # warmup run: fault the pooled model tables (TPAQ/TPAQX own
+            # ~300 MB+ of them; first-touch costs ~6 ms/MB on this host)
+            # so the matrix reports steady state like the level bench
+            E.encode(et, src[: 1 << 16], dict(ctx))
             t = time.perf_counter()
             payload, _bits = E.encode(et, src, dict(ctx))
             enc_t = time.perf_counter() - t
