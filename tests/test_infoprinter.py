@@ -151,3 +151,23 @@ def test_cli_v4_and_y_surface(tmp_path):
     assert r.returncode == 0, r.stderr
     assert "Bitstream version: 6" in r.stderr
     assert "Using ANS0 entropy codec (stage 1)" in r.stderr
+
+
+def test_v5_event_stream_with_stage_durations():
+    """v>=5 prints every event; threshold events 2-4 carry a ' [d ms]'
+    suffix computed from the correlated stage timestamps
+    (InfoPrinter.go:164-225)."""
+    out = io.StringIO()
+    p = InfoPrinter(5, COMPRESSION, out=out)
+    _feed_block(p, 1, 1000, 800, 600)
+    lines = [ln for ln in out.getvalue().splitlines() if ln]
+    # BEFORE_TRANSFORM: bare event; AFTER_TRANSFORM: [500 ms];
+    # BEFORE_ENTROPY: [250 ms]; AFTER_ENTROPY: [250 ms]; then the v>=4 line
+    assert '"type":"BEFORE_TRANSFORM"' in lines[0] and "ms]" not in lines[0]
+    assert '"type":"AFTER_TRANSFORM"' in lines[1] and lines[1].endswith("[500 ms]")
+    assert '"type":"BEFORE_ENTROPY"' in lines[2] and lines[2].endswith("[250 ms]")
+    assert '"type":"AFTER_ENTROPY"' in lines[3] and lines[3].endswith("[250 ms]")
+    assert lines[4].startswith("Block 1:")
+    # non-threshold events also print at v>=5
+    p.process_event(Event(EventType.COMPRESSION_END, -1, 123, time_=9.0))
+    assert '"type":"COMPRESSION_END"' in out.getvalue().splitlines()[-1]

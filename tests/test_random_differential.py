@@ -591,8 +591,10 @@ def test_container_random_config_quick():
 
 @pytest.mark.slow
 def test_container_random_config_sweep():
+    # batched isolation made per-case cost ~the work itself, so the
+    # sweep widened 25 -> 40 configs in round 5
     _check_container_batch(
-        [_case_seed("container-sweep", i) for i in range(25)])
+        [_case_seed("container-sweep", i) for i in range(40)])
 
 
 def _check_legacy(combo: str, kind: str, size: int, seed: int):
