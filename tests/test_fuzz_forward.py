@@ -96,8 +96,11 @@ def _fuzz_body():
 
     # 3. systematic matrix: random deep chains x all entropies x all
     # generators; expansion-stacking chains (MM/PACK/UTF interleavings)
-    # are drawn naturally from the full 19-name pool
-    rng = np.random.default_rng(0xF0D4)
+    # are drawn naturally from the full 19-name pool. The matrix seed is
+    # overridable (KANZI_FWD_FUZZ_SEED) so repeated runs sweep fresh
+    # config space; the default stays fixed for CI reproducibility.
+    matrix_seed = int(os.environ.get("KANZI_FWD_FUZZ_SEED", 0xF0D4))
+    rng = np.random.default_rng(matrix_seed)
     names = ["BWT", "BWTS", "LZ", "LZX", "LZP", "ROLZ", "ROLZX", "RLT",
              "ZRLT", "MTFT", "RANK", "SRT", "TEXT", "UTF", "PACK", "DNA",
              "MM", "EXE", "NONE"]
@@ -111,7 +114,7 @@ def _fuzz_body():
         block_size = int(rng.choice([1024, 4096, 16400, 65536]))
         kind = kinds[int(rng.integers(0, len(kinds)))]
         size = int(rng.integers(1, 70000))
-        one(chain, entropy, block_size, kind, size, seed=0xF0D4 + i,
+        one(chain, entropy, block_size, kind, size, seed=matrix_seed + i,
             checksum=int(rng.choice([0, 32])),
             headerless=bool(rng.integers(0, 2)))
 
