@@ -49,7 +49,7 @@ _tune_allocator()
 from .core import KanziError  # noqa: F401
 from .kio import Reader, Writer  # noqa: F401
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"  # keep in sync with pyproject.toml
 
 # Level presets: level -> (transform chain, entropy codec)
 # (reference: v2/app/BlockCompressor.go:665-700)
