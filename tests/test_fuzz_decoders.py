@@ -36,7 +36,8 @@ def _fuzz_body():
     from kanzi_tpu import native
     import kanzi_tpu
 
-    rng = random.Random(0xF077)
+    # fixed default for CI reproducibility; override for fresh sweeps
+    rng = random.Random(int(os.environ.get("KANZI_DEC_FUZZ_SEED", 0xF077)))
     ctx = {"bsVersion": 6, "blockSize": 65536}
 
     def try_entropy_decode(et, payload, out_len):
