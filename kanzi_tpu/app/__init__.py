@@ -17,9 +17,9 @@ from .. import (LEVEL_PRESETS, DEFAULT_BLOCK_SIZE, Reader, Writer, KanziError,
 from ..core import (ERR_INVALID_PARAM, ERR_MISSING_PARAM, ERR_OPEN_FILE,
                     ERR_OVERWRITE_FILE, ERR_CREATE_FILE, ERR_PROCESS_BLOCK,
                     ERR_INVALID_FILE, EventType)
-from .infoprinter import InfoPrinter
+from .infoprinter import COMPRESSION, DECOMPRESSION, INFO, InfoPrinter
 
-_APP_HEADER = "kanzi_tpu 0.1.0 (C) 2026"
+_APP_HEADER = "kanzi_tpu 0.5.0 (C) 2026"
 
 _HELP = """Usage: kanzi_tpu [arguments]
 
@@ -393,7 +393,6 @@ def main(argv: list[str] | None = None) -> int:
         a.jobs = max((os.cpu_count() or 1) // 2, 1)
     a.jobs = min(a.jobs, 64)
 
-    from .infoprinter import COMPRESSION, DECOMPRESSION, INFO
     # reference attach conditions: verbosity > 2 for c/d
     # (BlockCompressor.go:439, BlockDecompressor.go:332) with
     # firstBlockId = --from on decompression (BlockDecompressor.go:339-345)

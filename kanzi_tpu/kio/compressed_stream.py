@@ -36,7 +36,8 @@ from ..bitstream import BitReader, BitWriter
 from ..core import (BITSTREAM_TYPE, BITSTREAM_FORMAT_VERSION, COPY_BLOCK_MASK,
                     TRANSFORMS_MASK, MIN_BITSTREAM_BLOCK_SIZE,
                     MAX_BITSTREAM_BLOCK_SIZE, SMALL_BLOCK_SIZE,
-                    MAX_CONCURRENCY, KanziError, Event, EventType, HashType,
+                    MAX_CONCURRENCY, KanziError, Event, EventType,
+                    HashType, HeaderInfo,
                     ERR_INVALID_PARAM, ERR_BLOCK_SIZE, ERR_INVALID_FILE,
                     ERR_INVALID_CODEC, ERR_STREAM_VERSION, ERR_CRC_CHECK,
                     ERR_PROCESS_BLOCK, ERR_WRITE_FILE, ERR_READ_FILE)
@@ -276,7 +277,6 @@ class Writer:
         # container bit routes through it — e.g. a DebugBitWriter wrapping
         # a BitWriter — and the native one-shot splice is bypassed so the
         # injected stream observes the real bit sequence.
-        self._obs_injected = obs is not None
         self._bw = obs if obs is not None else BitWriter()
         self._pending = bytearray()
         self._block_id = 0
@@ -287,7 +287,7 @@ class Writer:
         self._pool = ThreadPoolExecutor(max_workers=jobs) if jobs > 1 else None
         # native fast path: the stream lives in a pooled numpy buffer and
         # every block is one C++ call (encode) + one C++ call (frame splice)
-        self._use_native = native.available() and not self._obs_injected
+        self._use_native = native.available() and obs is None
         self._stream: np.ndarray | None = None
         self._scratch: np.ndarray | None = None
         self._bitpos = 0        # bit position within self._stream
@@ -844,7 +844,6 @@ class Reader:
             br.read_bits(4)
 
         if self.listeners:
-            from ..core import HeaderInfo
             _notify(self.listeners, Event(
                 EventType.AFTER_HEADER_DECODING, 0, self.block_size, 0,
                 HashType.NONE, time.time(),

@@ -24,7 +24,7 @@ generator x chunk-boundary size plus the slow spec models (TPAQ, ROLZ)
 
 import json
 import os
-import struct
+import re
 import subprocess
 import sys
 
@@ -488,7 +488,6 @@ def _check_container_batch(seeds) -> None:
         [sys.executable, os.path.abspath(__file__),
          "--container-cases", ",".join(str(s) for s in seeds)],
         capture_output=True, text=True, env=env, timeout=1800)
-    import re
     ok = {int(m) for m in re.findall(r"CASE-OK (\d+)", r.stdout)}
     if r.returncode == 0 and ok.issuperset(seeds):
         return
