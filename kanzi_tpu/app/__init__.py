@@ -13,13 +13,13 @@ import sys
 import time
 
 from .. import (LEVEL_PRESETS, DEFAULT_BLOCK_SIZE, Reader, Writer, KanziError,
-                block_size_for_level)
+                __version__, block_size_for_level)
 from ..core import (ERR_INVALID_PARAM, ERR_MISSING_PARAM, ERR_OPEN_FILE,
                     ERR_OVERWRITE_FILE, ERR_CREATE_FILE, ERR_PROCESS_BLOCK,
                     ERR_INVALID_FILE, EventType)
 from .infoprinter import COMPRESSION, DECOMPRESSION, INFO, InfoPrinter
 
-_APP_HEADER = "kanzi_tpu 0.5.0 (C) 2026"
+_APP_HEADER = f"kanzi_tpu {__version__} (C) 2026"
 
 _HELP = """Usage: kanzi_tpu [arguments]
 
