@@ -82,8 +82,13 @@ def block_size_for_level(level: int) -> int:
 
 def compress(data, level: int | None = None, transform: str | None = None,
              entropy: str | None = None, block_size: int | None = None,
-             jobs: int = 1, checksum: int = 0, headerless: bool = False) -> bytes:
-    """One-shot compression to a KANZ v6 stream."""
+             jobs: int = 1, checksum: int = 0, headerless: bool = False,
+             skip: bool = False) -> bytes:
+    """One-shot compression to a KANZ v6 stream.
+
+    ``skip`` enables incompressible-block detection (the CLI's ``-s``:
+    magic-typed or high-entropy blocks are stored as copies — reference
+    BlockCompressor ``skipBlocks``)."""
     if level is not None:
         if not 0 <= level <= 9:
             raise KanziError(f"Invalid compression level: {level}")
@@ -95,7 +100,8 @@ def compress(data, level: int | None = None, transform: str | None = None,
     block_size = block_size or DEFAULT_BLOCK_SIZE
     w = Writer(None, transform=transform, entropy=entropy, block_size=block_size,
                jobs=jobs, checksum=checksum, file_size=len(data),
-               headerless=headerless)
+               headerless=headerless,
+               ctx={"skipBlocks": True} if skip else None)
     if w._os is None and not w._use_native:
         w._os = _io.BytesIO()  # legacy path needs a sink
     w.write(data)

@@ -81,13 +81,15 @@ def _fuzz_body():
             if e["type"] != "container":
                 continue
             (chain, entropy, block_size, checksum, headerless, kind, size,
-             data) = _draw_container_config(e["seed"])
+             data, skip_blocks) = _draw_container_config(
+                e["seed"], version=e.get("v", 1))
             cchain, cet = kt.get_type(chain), ke.get_type(entropy)
             cctx = {"bsVersion": 6, "jobs": 1, "blockSize": block_size,
                     "entropy": entropy}
             blob = native.c_compress(data, block_size, cchain, cet, cctx,
                                      checksum_bits=checksum,
-                                     headerless=headerless)
+                                     headerless=headerless,
+                                     skip_blocks=skip_blocks)
             out = native.c_decompress(
                 blob, len(data) + 1024, {"bsVersion": 6},
                 headerless=headerless, chain=cchain, etype=cet,

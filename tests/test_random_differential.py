@@ -321,7 +321,7 @@ def test_committed_regressions():
         elif e["type"] == "legacy":
             _check_legacy(e["codec"], e["kind"], e["size"], e["seed"])
         elif e["type"] == "container":
-            container_seeds.append(e["seed"])
+            container_seeds.append((e["seed"], e.get("v", 1)))
         else:
             _check_transform(e["codec"], e["kind"], e["size"], e["seed"])
     if container_seeds:
@@ -442,11 +442,18 @@ def _check_rolz_exe(name: str, kind: str, size: int, seed: int):
         raise
 
 
-def _draw_container_config(seed: int, with_data: bool = True):
+def _draw_container_config(seed: int, with_data: bool = True,
+                           version: int = 2):
     """The config draw for a container case, separated so the parent
     process can describe a case (for regression entries) without running
     any native code. with_data=False skips generating the input buffer
-    (the draws before it are unaffected)."""
+    (the draws before it are unaffected).
+
+    `version` gates draws appended later so committed regression entries
+    keep reproducing the exact config they crashed under: v1 entries
+    (no "v" field) replay without the trailing draws; fresh cases use the
+    current version. New draws must only ever be APPENDED, behind a
+    version bump."""
     rng = np.random.default_rng(seed)
     names = ["BWT", "BWTS", "LZ", "LZX", "LZP", "ROLZ", "ROLZX", "RLT",
              "ZRLT", "MTFT", "RANK", "SRT", "TEXT", "UTF", "PACK", "DNA",
@@ -462,11 +469,20 @@ def _draw_container_config(seed: int, with_data: bool = True):
     kind = list(GENERATORS)[int(rng.integers(0, len(GENERATORS)))]
     size = int(rng.integers(1, 200000))
     data = GENERATORS[kind](rng, size) if with_data else None
-    return chain, entropy, block_size, checksum, headerless, kind, size, data
+    skip_blocks = False
+    if version >= 2:
+        # v2 trailing draws (round 5): incompressible-block detection and
+        # magic-typed data, exercising the skipBlocks copy path and the
+        # container's dataType classification
+        skip_blocks = bool(rng.integers(0, 2))
+        if int(rng.integers(0, 4)) == 0 and data is not None and size > 8:
+            data = b"\x1f\x8b\x08\x00" + data[4:]  # gzip magic prefix
+    return (chain, entropy, block_size, checksum, headerless, kind, size,
+            data, skip_blocks)
 
 
 def _check_container(seed: int):
-    _check_container_batch([seed])
+    _check_container_batch([(seed, 2)])
 
 
 def _check_container_batch(seeds) -> None:
@@ -478,7 +494,8 @@ def _check_container_batch(seeds) -> None:
     to LAST_CASE before executing it and prints `CASE-OK <seed>` after,
     so a dead child pinpoints the failing case without per-case
     interpreter spawns."""
-    seeds = list(seeds)
+    # each case is (seed, draw-version); bare ints mean current version
+    cases = [(c, 2) if isinstance(c, int) else tuple(c) for c in seeds]
     env = dict(os.environ)
     env.update({"PYTHONPATH": REPO, "JAX_PLATFORMS": "cpu",
                 # the child journals LAST_CASE; give it the parent's base
@@ -486,17 +503,19 @@ def _check_container_batch(seeds) -> None:
                 "KANZI_FUZZ_SEED": str(BASE_SEED)})
     r = subprocess.run(
         [sys.executable, os.path.abspath(__file__),
-         "--container-cases", ",".join(str(s) for s in seeds)],
+         "--container-cases", ",".join(f"{s}:{v}" for s, v in cases)],
         capture_output=True, text=True, env=env, timeout=1800)
     ok = {int(m) for m in re.findall(r"CASE-OK (\d+)", r.stdout)}
-    if r.returncode == 0 and ok.issuperset(seeds):
+    if r.returncode == 0 and ok.issuperset(s for s, _ in cases):
         return
-    seed = next((s for s in seeds if s not in ok), seeds[-1])
+    seed, version = next(((s, v) for s, v in cases if s not in ok),
+                         cases[-1])
     (chain, entropy, block_size, checksum, headerless, kind, size,
-     _data) = _draw_container_config(seed, with_data=False)
+     _data, _skip) = _draw_container_config(seed, with_data=False,
+                                            version=version)
     if not env.get("KANZI_FUZZ_INJECT_SEGV"):
         _record_failure({"type": "container", "codec": chain, "kind": kind,
-                         "size": size, "seed": seed})
+                         "size": size, "seed": seed, "v": version})
     sig = f" (signal {-r.returncode})" if r.returncode < 0 else ""
     raise AssertionError(
         f"container fuzz failure: chain={chain} entropy={entropy} "
@@ -506,7 +525,7 @@ def _check_container_batch(seeds) -> None:
         f"stdout={r.stdout[-1500:]}\nstderr={r.stderr[-2500:]}")
 
 
-def _run_container_case(seed: int):
+def _run_container_case(seed: int, version: int = 2):
     """The in-process body of a container case (run inside the isolation
     subprocess): Writer roundtrip, jobs=1 vs jobs=4 byte-identity, and
     triangulation of the standalone C one-shot (kz_compress/kz_decompress)
@@ -517,13 +536,13 @@ def _run_container_case(seed: int):
     import kanzi_tpu
 
     (chain, entropy, block_size, checksum, headerless, kind, size,
-     data) = _draw_container_config(seed)
+     data, skip_blocks) = _draw_container_config(seed, version=version)
     _pre_draw({"type": "container", "codec": chain, "kind": kind,
-               "size": size, "seed": seed})
+               "size": size, "seed": seed, "v": version})
     if os.environ.get("KANZI_FUZZ_INJECT_SEGV"):
         os.kill(os.getpid(), signal.SIGSEGV)
     cfg = dict(transform=chain, entropy=entropy, block_size=block_size,
-               checksum=checksum, headerless=headerless)
+               checksum=checksum, headerless=headerless, skip=skip_blocks)
     try:
         blob = kanzi_tpu.compress(data, **cfg)
         ctx = {"entropy": entropy, "transform": chain,
@@ -548,7 +567,8 @@ def _run_container_case(seed: int):
                 "entropy": entropy}
         cblob = native.c_compress(data, block_size, cchain, cet, cctx,
                                   checksum_bits=checksum,
-                                  headerless=headerless)
+                                  headerless=headerless,
+                                  skip_blocks=skip_blocks)
         assert cblob == blob, (
             f"C one-shot diverged from Writer: chain={chain} "
             f"entropy={entropy} bs={block_size} cks={checksum} "
@@ -704,5 +724,6 @@ if __name__ == "__main__":
     # isolation-subprocess entry: run a batch of container cases in-process
     if "--container-cases" in sys.argv:
         arg = sys.argv[sys.argv.index("--container-cases") + 1]
-        for s in arg.split(","):
-            _run_container_case(int(s))
+        for tok in arg.split(","):
+            sd, _, ver = tok.partition(":")
+            _run_container_case(int(sd), int(ver or 2))
