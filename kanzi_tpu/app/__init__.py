@@ -45,7 +45,8 @@ _HELP = """Usage: kanzi_tpu [arguments]
    -e, --entropy=<name>    NONE HUFFMAN FPAQ RANGE ANS0 ANS1 CM TPAQ TPAQX
    -j, --jobs=<n>          number of concurrent jobs [1..64] (0 = all cores)
    -v, --verbose=<0..5>    verbosity level
-   -x, -x32, -x64          write block checksums (32 or 64 bits)
+   -x, -x32, -x64, --checksum=<size>
+                           write block checksums (32 or 64 bits)
    -s, --skip              detect and copy incompressible blocks
    -f, --force             overwrite the output file
    --rm                    remove the input file after successful processing
@@ -142,6 +143,16 @@ def _parse_args(argv: list[str]) -> _Args | int:
                 continue
             if arg == "-x64":
                 a.checksum = 64
+                continue
+            if arg.startswith("--checksum="):
+                # Reference long form (Kanzi.go:628-650): only 32/64 valid,
+                # anything else is ERR_INVALID_PARAM.
+                val = arg[len("--checksum="):].strip()
+                if val not in ("32", "64"):
+                    print(f"Warning: invalid option [checksum={val}]",
+                          file=sys.stderr)
+                    return ERR_INVALID_PARAM
+                a.checksum = int(val)
                 continue
             if arg == "--rm":
                 a.remove = True

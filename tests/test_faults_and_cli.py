@@ -174,6 +174,22 @@ def test_cli_info_mode(tmp_path):
     assert "|   64|" in text  # checksum column
 
 
+def test_cli_checksum_long_form(tmp_path):
+    """--checksum=<size> long form (Kanzi.go:628-650): 32/64 accepted and
+    equivalent to -x32/-x64; any other value is ERR_INVALID_PARAM."""
+    src = tmp_path / "in.txt"
+    src.write_bytes(b"checksum long form " * 200)
+    knz = tmp_path / "in.knz"
+    res = _run_cli(["-c", "-i", str(src), "-o", str(knz), "-l", "1", "-f",
+                    "--checksum=64", "-v", "0"])
+    assert res.returncode == 0, res.stderr
+    res = _run_cli(["-y", "-i", str(knz), "-v", "4"])
+    assert "|   64|" in res.stdout.decode() + res.stderr.decode()
+    res = _run_cli(["-c", "-i", str(src), "-o", str(knz), "-l", "1", "-f",
+                    "--checksum=16", "-v", "0"])
+    assert res.returncode != 0
+
+
 def test_cli_rm_flag(tmp_path):
     src = tmp_path / "in.txt"
     src.write_bytes(b"remove me " * 100)
