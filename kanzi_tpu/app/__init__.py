@@ -186,9 +186,12 @@ def _parse_args(argv: list[str]) -> _Args | int:
 
         try:
             if key == "input":
-                a.input_name = val
+                # keywords are case-insensitive (BlockCompressor.go:339
+                # strings.EqualFold) — normalize once here
+                a.input_name = "STDIN" if val.upper() == "STDIN" else val
             elif key == "output":
-                a.output_name = val
+                a.output_name = (val.upper()
+                                 if val.upper() in ("STDOUT", "NONE") else val)
             elif key == "block":
                 a.block_size = _parse_block_size(val)
             elif key == "level":

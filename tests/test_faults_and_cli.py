@@ -190,6 +190,21 @@ def test_cli_checksum_long_form(tmp_path):
     assert res.returncode != 0
 
 
+def test_cli_io_keywords_case_insensitive(tmp_path):
+    """STDIN/STDOUT/NONE are case-insensitive (BlockCompressor.go:339,378,450
+    strings.EqualFold)."""
+    src = tmp_path / "in.txt"
+    src.write_bytes(b"keyword case " * 100)
+    res = _run_cli(["-c", "-i", str(src), "-o", "none", "-l", "1", "-v", "0"])
+    assert res.returncode == 0, res.stderr
+    res = _run_cli(["-c", "-i", str(src), "-o", "stdout", "-l", "1", "-v", "0"])
+    assert res.returncode == 0 and res.stdout[:4] == b"KANZ"
+    out = tmp_path / "out.txt"
+    res = _run_cli(["-d", "-i", "stdin", "-o", str(out), "-v", "0"],
+                   input_bytes=res.stdout)
+    assert res.returncode == 0 and out.read_bytes() == src.read_bytes()
+
+
 def test_cli_rm_flag(tmp_path):
     src = tmp_path / "in.txt"
     src.write_bytes(b"remove me " * 100)
