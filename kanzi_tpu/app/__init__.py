@@ -475,6 +475,13 @@ def main(argv: list[str] | None = None) -> int:
         return _decompress_one(sub, in_path, _out_path_for(in_path), listener)
 
     res = 0
+    if len(inputs) > 1 and a.jobs > 1 and a.verbose > 1:
+        # reference BlockCompressor.go:386-389: concurrent multi-file block
+        # events interleave, so cap verbosity at the per-file summaries
+        print("Warning: limiting verbosity to 1 due to concurrent processing"
+              " of input files.", file=sys.stderr)
+        a.verbose = 1
+        listener = None  # block-event listener attaches at verbosity > 2
     if len(inputs) > 1 and a.jobs > 1 and "STDIN" not in inputs:
         # multi-file worker pool: jobs split across concurrent file tasks
         # (reference P3, v2/app/BlockCompressor.go:543-618 +
