@@ -1009,6 +1009,60 @@ def test_tpaq_first_bits_hand_derived():
     assert probe(True, 0xFF, 2) == [2048, 1820]
 
 
+def test_cm_first_bits_hand_derived():
+    """CM predictor first probabilities derived BY HAND from
+    v2/entropy/CMPredictor.go (bsVersion>=4 semantics), asserted against the
+    spec-model probe (which the engine is pinned byte-equal to by
+    test_cm_bytes_match_spec). Derivation, constants read off the Go source:
+
+    Initial state (NewCMPredictor): ctx=1, runMask=0, c1=c2=0,
+    counter1[*][*]=PSCALE>>1=32768, counter2[*][j]=j<<12 (j<16), [16]=65535.
+
+    Bit 1: p = (13*(32768+32768) + 6*32768)>>5 = 1048576>>5 = 32768;
+    idx=8, x1=8<<12=32768, x2=9<<12=36864;
+    pred = (2*32768 + 3*(32768+36864) + 64)>>7 = 274496>>7 = **2144**.
+    Note pred != 2048: the SSE pair (x1,x2) straddles p asymmetrically.
+
+    Bits 2..8: each update moves ctx to a fresh power of two (1->2->4->...),
+    and both counter tables are indexed by ctx, so every first-byte bit sees
+    untouched counters: pred = **2144** eight times, for any byte value.
+
+    Byte 2 bit 1, first byte 0x00: the eight bit-0 updates set
+    counter1[2^k][256] = 32768-(32768>>2) = 24576 and counter1[2^k][0] =
+    32768-(32768>>4) = 30720; after the 8th, ctx=256>255 so c2=old c1=0,
+    c1=byte(256)=0, runMask=0x100 (c1==c2). Then pc1=counter1[1],
+    pc2=counter2[1|0x100=257] (fresh):
+    p = (13*(24576+30720) + 6*30720)>>5 = 903168>>5 = 28224; idx=6,
+    x1=6<<12=24576, x2=28672;
+    pred = (2*28224 + 3*(24576+28672) + 64)>>7 = 216256>>7 = **1689**.
+
+    Byte 2 bit 1, first byte 0xFF: bit-1 updates use arithmetic shifts of
+    (x - PSCALE + 16): counter1[1][256] = 32768-((-32752)>>2) = 32768+8188
+    = 40956; counter1[1][0] = 32768+2047 = 34815; counter2[1][8] =
+    32768+512 = 33280; counter2[1][9] = 36864+448 = 37312. After the 8th
+    one-bit, ctx=511>255: c2=0, c1=byte(511)=255, runMask=0 (255!=0).
+    p = (13*(40956+32768) + 6*34815)>>5 = 1167302>>5 = 36478; idx=8,
+    x1=33280, x2=37312 (the updated counter2[1] slots);
+    pred = (2*36478 + 3*(33280+37312) + 64)>>7 = 284796>>7 = **2224**.
+    """
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from specmodel.binary_cm import SpecCMPredictor
+
+    def probe(data, nbits):
+        pred = SpecCMPredictor()
+        bits = [(b >> (7 - k)) & 1 for b in data for k in range(8)]
+        ps = []
+        for i in range(nbits):
+            ps.append(pred.get())
+            pred.update(bits[i])
+        return ps
+
+    assert probe(b"\x00\x00", 9) == [2144] * 8 + [1689]
+    assert probe(b"\xff\xff", 9) == [2144] * 8 + [2224]
+    assert probe(b"\x5a\x5a", 8) == [2144] * 8  # any byte: fresh contexts
+
+
 def test_tpaq_crafted_4k_payload_pinned():
     """TPAQ and TPAQX payload bytes over a crafted 4 KiB input: the engine
     must equal the independent spec model bit-for-bit, and the result is
