@@ -1063,6 +1063,41 @@ def test_cm_first_bits_hand_derived():
     assert probe(b"\x5a\x5a", 8) == [2144] * 8  # any byte: fresh contexts
 
 
+def test_fpaq_single_byte_hand_derived():
+    """Complete FPAQ payloads for one-byte blocks derived BY HAND from
+    v2/entropy/FPAQCodec.go:100-170 — engine bytes asserted against the
+    derivation directly (independent of specmodel/fpaq.py).
+
+    Setup: probs[*][*] = PSCALE>>1 = 32768; low=0, high=2^56-1. For byte v
+    the 8 bits index p[1], p[(256+v)>>7], ..., p[(256+v)>>1] — all DISTINCT
+    slots for any v, so every first-byte bit sees p=32768. encodeBit:
+    split = ((high-low)>>8 * 32768)>>8; bit==0: low += split+1;
+    bit==1: high = low+split. (low^high) never drops below 2^24 within 8
+    bits, so the chunk body is empty: payload = varint(0) byte + the
+    Dispose flush WriteBits(low|MASK_0_24, 56).
+
+    v=0xFF: all bits take the high branch, low stays 0 for all 8 steps;
+    flush = 0x0000000000FFFFFF -> payload 00 00 00 00 00 00 FF FF FF with
+    the varint first = hex 0000000000ffffff prefixed by 00.
+
+    v=0x00: iterating low += split+1 (worked by hand, full table):
+      bit0: split=0x7fffffffffff80, low->0x7fffffffffff81
+      bit1: split=0x40000000000000, low->0xbfffffffffff82
+      bit2: split=0x20000000000000, low->0xdfffffffffff83
+      bit3: split=0x10000000000000, low->0xefffffffffff84
+      bit4: split=0x08000000000000, low->0xf7ffffffffff85
+      bit5: split=0x04000000000000, low->0xfbffffffffff86
+      bit6: split=0x02000000000000, low->0xfdffffffffff87
+      bit7: split=0x01000000000000, low->0xfeffffffffff88
+    flush = low|0xFFFFFF = 0xfeffffffffffff -> payload 00 fe ff ff ff ff
+    ff ff.
+    """
+    for data, want in ((b"\x00", "00feffffffffffff"),
+                       (b"\xff", "0000000000ffffff")):
+        got_bytes, got_bits = ke.encode(ke.FPAQ_TYPE, data, {})
+        assert (got_bits, bytes(got_bytes).hex()) == (64, want)
+
+
 def test_tpaq_crafted_4k_payload_pinned():
     """TPAQ and TPAQX payload bytes over a crafted 4 KiB input: the engine
     must equal the independent spec model bit-for-bit, and the result is
